@@ -1,0 +1,193 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame compositions (JVM-side, whole-stage
+codegen) — no Python in the hot path.  Hashing uses ``md5`` so results
+are reproducible across engines (the DuckDB correctness oracle computes
+the identical signatures).
+
+Scale notes (100 TB):
+* exact dedup is one hash-shuffle on a 16-byte key; AQE handles skew;
+* MinHash: explode(shingles) × seeds is map-side work; the signature
+  aggregation shuffles (doc_id, seed) — salting is unnecessary because
+  keys are uniformly distributed by construction;
+* LSH banding turns all-pairs similarity into an equi-join on band
+  keys, the only scalable strategy at 10^9+ docs (no cross join ever);
+* n-gram Jaccard / SimHash-hamming verification runs only on candidate
+  pairs out of the LSH join, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text hash; adds ``dup_count``."""
+    h = F.md5(F.col(text_col)).alias("_h")
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy("_h")))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_h")
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Array of word n-gram shingles (space-joined); empty-safe."""
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Long-form MinHash signatures: (id, seed, minhash).
+
+    minhash(doc, seed) = min over shingles of md5("<seed>:<shingle>") —
+    deterministic and engine-portable.
+    """
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
+        .select("id", F.explode(F.array_distinct("sh")).alias("shingle"))
+        .select("id", "shingle", F.explode(seeds).alias("seed"))
+        .groupBy("id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))).alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over long-form signatures.
+
+    Band key = md5 of the concatenated row-signatures of the band; docs
+    sharing any band key become a candidate pair (equi-join, no cross
+    join).  Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (verification stage)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)))
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash fingerprint from per-word md5 (60 usable bits so the
+    word hash fits a signed BIGINT via 15 hex nibbles).
+
+    sign(word) bit b votes +1/-1; fingerprint bit b = 1 iff the vote
+    sum is positive.  Engine-portable: DuckDB reproduces it exactly.
+    """
+    wh = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .withColumn("h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"))
+    )
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = wh.groupBy("id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long")
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("simhash"))
+
+
+def hamming64(col_a: Column, col_b: Column) -> Column:
+    """Popcount of XOR via bit_count (Spark 3.3+)."""
+    return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    buckets: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates via random-hyperplane LSH.
+
+    Deterministic hyperplanes derived from md5 of the dimension index —
+    no RNG, reproducible.  Pairs sharing a sign-bucket are verified with
+    exact cosine; only the equi-join on bucket scales to 10^9 vectors.
+    """
+    dim_sign = F.transform(
+        F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+        lambda i: F.when(
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("plane"), i)), 1, 4), 16, 10).cast("int") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    signed = F.zip_with(F.col(vec_col).cast("array<double>"), dim_sign, lambda x, s: x * s)
+    bucket = F.when(
+        F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) >= 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        bucket.alias("bucket"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).alias("shard"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", dot / (norm(F.col("a.v")) * norm(F.col("b.v"))))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.
+
+Everything except language-ID is a pure JVM-side column expression
+(whole-stage codegen, no Python).  Language-ID is a deterministic
+stopword-hit heuristic, also expressed as pure columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic, pinned stopword profiles for the n-gram/stopword
+# language heuristic (tiny on purpose — this is a heuristic operator,
+# not a model).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
+}
+
+_PUNCT_RE = r"[^A-Za-z0-9 ]"
+
+
+def words_col(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (BPE-ish subword estimate available via
+    ``subword_estimate``)."""
+    return F.size(words_col(text_col))
+
+
+def subword_estimate(text_col: str = "text", chars_per_token: float = 4.0) -> Column:
+    """Cheap BPE-ish token estimate: ceil(octet_length / 4)."""
+    return F.ceil(F.octet_length(F.col(text_col)) / F.lit(chars_per_token)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features per row.
+
+    n_tokens, n_chars, avg_word_len, punct_ratio, stopword_ratio (en),
+    upper_ratio — the standard cheap quality gates of a pretraining
+    pipeline, rounded for engine-portable comparison.
+    """
+    w = words_col(text_col)
+    n_tokens = F.size(w)
+    n_chars = F.octet_length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = n_chars - F.octet_length(F.regexp_replace(F.col(text_col), _PUNCT_RE, ""))
+    n_upper = n_chars - F.octet_length(F.regexp_replace(F.col(text_col), r"[A-Z]", ""))
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("avg_word_len", F.round((n_chars - (n_tokens - 1)) / n_tokens, 4))
+        .withColumn("punct_ratio", F.round(n_punct / n_chars, 4))
+        .withColumn("stopword_ratio", F.round(n_stop / n_tokens, 4))
+        .withColumn("upper_ratio", F.round(n_upper / n_chars, 4))
+    )
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Single deterministic 0..1 quality score used as a filter gate."""
+    w = words_col(text_col)
+    n_tokens = F.size(w)
+    n_chars = F.octet_length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    stop_ratio = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))) / n_tokens
+    len_score = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    punct_ratio = (n_chars - F.octet_length(F.regexp_replace(F.col(text_col), _PUNCT_RE, ""))) / n_chars
+    return F.round(
+        F.lit(0.5) * len_score + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))),
+        4,
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-profile language guess (deterministic; ties break by
+    language-code order).  A heuristic operator, pinned by unit tests.
+    """
+    w = words_col(text_col)
+    # struct ordering compares fields left-to-right: (hits, -position)
+    # makes greatest() pick the highest hit count, breaking ties toward
+    # the alphabetically-first language code.
+    def _hits(arr):
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    scored = []
+    for i, code in enumerate(sorted(STOPWORDS)):
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[code]])
+        scored.append(F.struct(_hits(arr).alias("h"), F.lit(-i).alias("ord"), F.lit(code).alias("code")))
+    best = F.greatest(*scored)
+    return df.withColumn(out_col, F.when(best["h"] > 0, best["code"]).otherwise(F.lit("und")))
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the cheap, engine-portable canonical-content hash."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"[ \t\n\r\f]+", " ")))
+    return F.md5(norm)

@@ -1,0 +1,181 @@
+"""End-to-end extraction pipeline: partitioning, skew salting, ordering
+assertion, per-partition checkpoint/lineage control table, idempotent
+resume.
+
+Design for the 10^12-turn target (north_rule):
+
+* **Stable buckets, not task ids.**  Work is keyed by
+  ``bucket = pmod(xxhash64(conv_id), n_buckets)`` — deterministic
+  across runs and cluster sizes, unlike ``spark_partition_id()``.
+  Output is written ``partitionBy("bucket")`` with dynamic partition
+  overwrite, so re-processing a bucket is idempotent (task retries and
+  resumed runs overwrite, never duplicate).
+* **Skew salting.**  Extraction itself is row-parallel, so the shuffle
+  before the kernel redistributes on ``(bucket, salt)`` where
+  ``salt = pmod(xxhash64(conv_id, turn_idx), n_salts)`` — a single
+  monster conversation spreads over ``n_salts`` tasks instead of
+  stalling one.  (AQE skew-join handling stays on as the backstop.)
+* **Ordering assertion.**  Correctness is defined under stable turn
+  ordering; ``assert_turn_ordering`` verifies per-conversation
+  turn_idx density (count == distinct == max-min+1) with one
+  aggregation — the windowed ``row_number`` variant is available via
+  ``strict=True`` and is the only window use in the pipeline, exactly
+  as the north star limits it.
+* **Control table.**  One lineage/metric row per completed bucket
+  ``(run_id, bucket, n_rows, n_convs, n_chars_out, started_at,
+  finished_at, wall_sec)``; resume = anti-join of buckets against
+  completed control rows for the run_id.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.html_ops import extract_struct_udf
+
+
+@dataclass
+class PipelineConfig:
+    n_buckets: int = 32
+    n_salts: int = 4
+    drop_whitespace_text_nodes: bool = False
+    use_link_density: bool = True
+    shuffle_before_extract: bool = True
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+
+
+def extract_turns(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """The kernel stage: text → (main_text, spans, n_nodes, n_removed).
+
+    Row-parallel; when ``shuffle_before_extract`` the input is
+    redistributed on (bucket, salt) to even out skewed conversations.
+    """
+    df = with_bucket(df, cfg.n_buckets)
+    if cfg.shuffle_before_extract:
+        salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(cfg.n_salts)).cast("int")
+        df = df.repartition(F.col("bucket"), salt)
+    ex = extract_struct_udf(
+        drop_whitespace_text_nodes=cfg.drop_whitespace_text_nodes,
+        use_link_density=cfg.use_link_density,
+    )
+    out = df.withColumn("_ex", ex(F.col("text")))
+    return out.select(
+        "conv_id", "turn_idx", "role", "tool", "ts", "bucket",
+        F.col("_ex.main_text").alias("main_text"),
+        F.col("_ex.spans").alias("spans"),
+        F.col("_ex.n_nodes").alias("n_nodes"),
+        F.col("_ex.n_removed").alias("n_removed"),
+    )
+
+
+def assert_turn_ordering(df: DataFrame, strict: bool = False) -> int:
+    """Return number of conversations violating dense turn ordering.
+
+    Cheap path: one groupBy checking count == countDistinct ==
+    max-min+1 and min == 0.  Strict path: window row_number must equal
+    the rank of turn_idx (the pipeline's single sanctioned window use).
+    """
+    if strict:
+        w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc())
+        bad = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") - 1 != F.col("turn_idx"))
+            .select("conv_id").distinct().count()
+        )
+        return bad
+    agg = df.groupBy("conv_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("turn_idx").alias("nd"),
+        F.min("turn_idx").alias("lo"),
+        F.max("turn_idx").alias("hi"),
+    )
+    return agg.where(
+        (F.col("n") != F.col("nd")) | (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)
+    ).count()
+
+
+CONTROL_COLUMNS = [
+    "run_id", "bucket", "n_rows", "n_convs", "n_chars_out",
+    "started_at", "finished_at", "wall_sec",
+]
+
+
+def completed_buckets(spark: SparkSession, control_dir: str, run_id: str):
+    try:
+        ctl = spark.read.parquet(control_dir)
+    except Exception:
+        return set()
+    rows = ctl.where(F.col("run_id") == run_id).select("bucket").distinct().collect()
+    return {r[0] for r in rows}
+
+
+def run_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    control_dir: str,
+    run_id: str,
+    cfg: PipelineConfig = PipelineConfig(),
+    resume: bool = True,
+    check_ordering: bool = True,
+) -> dict:
+    """Run (or resume) the extraction job; returns run metrics.
+
+    Idempotency: output parquet is partitioned by ``bucket`` and
+    written with dynamic partition overwrite; the control table is the
+    commit record — a bucket counts as done only once its control row
+    exists, and the control row is appended only after the bucket's
+    data write completed.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    started = time.time()
+
+    df = with_bucket(transcripts, cfg.n_buckets)
+    skipped = set()
+    if resume:
+        skipped = completed_buckets(spark, control_dir, run_id)
+        if skipped:
+            df = df.where(~F.col("bucket").isin(sorted(skipped)))
+
+    if check_ordering:
+        violations = assert_turn_ordering(df)
+        if violations:
+            raise ValueError(f"turn-ordering violated in {violations} conversations")
+
+    extracted = extract_turns(df, cfg)
+    extracted.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+
+    finished = time.time()
+    # Lineage/metrics per bucket, computed from the committed output.
+    done = (
+        spark.read.parquet(out_dir)
+        .where(~F.col("bucket").isin(sorted(skipped)) if skipped else F.lit(True))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum(F.octet_length("main_text")).alias("n_chars_out"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("started_at", F.lit(started))
+        .withColumn("finished_at", F.lit(finished))
+        .withColumn("wall_sec", F.lit(round(finished - started, 3)))
+        .select(*CONTROL_COLUMNS)
+    )
+    done.write.mode("append").parquet(control_dir)
+
+    n_rows = spark.read.parquet(out_dir).count()
+    return {
+        "run_id": run_id,
+        "rows_total": n_rows,
+        "buckets_skipped": len(skipped),
+        "wall_sec": round(finished - started, 3),
+    }

@@ -1,0 +1,79 @@
+"""Structured Streaming variant of the extraction stage.
+
+``readStream`` over a transcript directory → the same Arrow-batched
+extraction kernel (pandas UDFs work identically under streaming) →
+watermarked tumbling-window metrics → sink.  Late turns beyond the
+watermark are dropped from the metric windows (not from extraction,
+which is stateless per row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, StringType, StructField, StructType, TimestampType,
+)
+
+TRANSCRIPT_SCHEMA = StructType([
+    StructField("conv_id", StringType(), True),
+    StructField("turn_idx", IntegerType(), True),
+    StructField("role", StringType(), True),
+    StructField("text", StringType(), True),
+    StructField("tool", StringType(), True),
+    StructField("ts", TimestampType(), True),
+])
+
+
+def read_transcript_stream(spark: SparkSession, src_dir: str,
+                           max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def extract_stream(stream_df: DataFrame) -> DataFrame:
+    """Stateless streaming extraction — same kernel as batch."""
+    from ..operators.html_ops import extract_struct_udf
+
+    ex = extract_struct_udf()
+    return stream_df.withColumn("_ex", ex(F.col("text"))).select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        F.col("_ex.main_text").alias("main_text"),
+        F.col("_ex.n_nodes").alias("n_nodes"),
+    )
+
+
+def windowed_metrics(extracted: DataFrame, window: str = "1 hour",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window throughput/volume metrics."""
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("role"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.octet_length("main_text")).alias("n_chars"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "role", "n_turns", "n_chars",
+        )
+    )
+
+
+def run_available_now(stream_out: DataFrame, query_name: str, checkpoint_dir: str,
+                      output_mode: str = "append"):
+    """Drain everything currently available into a memory sink (tests)."""
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

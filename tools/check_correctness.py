@@ -1,0 +1,120 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet, then compares row count, column names
+and order-insensitive values (columns sorted by name, rows sorted,
+floats rounded).  Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = f"{v:.6f}"
+            elif hasattr(v, "isoformat"):
+                v = v.isoformat()
+            elif isinstance(v, (list, tuple)):
+                v = str(list(v))
+            else:
+                v = str(v) if not isinstance(v, str) else v
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("correctness")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: spark error: {e}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"[rows-only] {name}: {len(srows)} rows")
+            continue
+        try:
+            cur = con.sql(sql)
+            ocols = [c for c in cur.columns]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"[FAIL] {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            failures += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"[FAIL] {name}: rows {len(srows)} != {len(orows)}")
+            failures += 1
+            continue
+        a = canon([tuple(r) for r in srows], scols)
+        b = canon(orows, ocols)
+        if a != b:
+            bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"[FAIL] {name}: value mismatch; first diffs: {bad}")
+            failures += 1
+            continue
+        print(f"[ok] {name}: {len(srows)} rows match")
+    spark.stop()
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
