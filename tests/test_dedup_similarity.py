@@ -1,0 +1,111 @@
+"""Dedup (exact / MinHash-LSH / SimHash / Jaccard), similarity search
+(brute force vs IVF), multimodal plumbing, text stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_parser_spark.operators.dedup import (
+    exact_dedup, hamming64, lsh_candidate_pairs, minhash_signatures,
+    ngram_jaccard, simhash64,
+)
+from html_parser_spark.operators.similarity import (
+    build_ivf_index, cosine_topk, ivf_topk,
+)
+from html_parser_spark.operators.textstats import STOPWORDS, lang_id
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "spark pipelines shuffle data between executors during wide stages"),
+        (3, "completely different text about cooking pasta with fresh tomatoes"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (5, "der schnelle braune fuchs springt und das ist ein deutscher satz"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, corpus):
+    out = exact_dedup(corpus).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids and 0 in ids
+    assert {r["doc_id"]: r["dup_count"] for r in out}[0] == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    sigs = minhash_signatures(corpus, num_hashes=8, shingle_n=3)
+    assert sigs.count() == 6 * 8
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()
+    pairset = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 4) in pairset            # exact dup always collides
+    assert (0, 1) in pairset or (1, 4) in pairset  # near-dup collides on some band
+    assert (2, 3) not in pairset        # unrelated docs don't
+
+
+def test_jaccard_verification(spark, corpus):
+    ids = corpus.select(F.col("doc_id").alias("id"))
+    pairs = (
+        ids.alias("a").join(ids.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(pairs, corpus).collect()}
+    assert j[(0, 4)] == 1.0
+    assert j[(0, 1)] > 0.6
+    assert j[(2, 3)] == 0.0
+
+
+def test_simhash_hamming(spark, corpus):
+    fp = simhash64(corpus)
+    rows = {r["id"]: r["simhash"] for r in fp.collect()}
+    a = fp.alias("a").join(fp.alias("b"), F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),
+        hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("d"),
+    )
+    d = {(r["ia"], r["ib"]): r["d"] for r in a.collect()}
+    assert rows[0] == rows[4] and d[(0, 4)] == 0
+    assert d[(0, 1)] < d[(0, 3)]  # near-dup closer than unrelated
+
+
+def test_cosine_topk_and_ivf(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    brute = cosine_topk(emb, q, k=5).collect()
+    assert brute[0]["vec_id"] == 7 and abs(brute[0]["cosine"] - 1.0) < 1e-6
+    assert all(brute[i]["cosine"] >= brute[i + 1]["cosine"] for i in range(4))
+
+    indexed, cents = build_ivf_index(emb, num_cells=4)
+    assert indexed.groupBy("cell").count().count() >= 2  # vectors spread over cells
+    approx = ivf_topk(indexed, cents, q, k=5, nprobe=4)  # nprobe=all ⇒ exact
+    assert [r["vec_id"] for r in approx.collect()] == [r["vec_id"] for r in brute]
+    # pruned probe still returns k results
+    got = ivf_topk(indexed, cents, q, k=5, nprobe=2).collect()
+    assert len(got) == 5
+
+
+def test_lang_id_heuristic(spark, corpus):
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(corpus).collect()}
+    assert out[0] == "en"
+    assert out[5] == "de"
+    assert out[3] in ("en", "und")  # english-ish text without many stopwords
+
+
+def test_multimodal_feature_plumbing(spark):
+    from html_parser_spark.operators.multimodal import (
+        decode_real, extract_features, synth_assets,
+    )
+
+    assets = synth_assets(spark, n=32)
+    feats = extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert r["n_bytes"] > 0 and len(r["content_hash"]) == 32
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert abs(sum(r["histogram"]) - 1.0) < 1e-3
+    # determinism: same input → same features
+    again = {r["asset_id"]: r["content_hash"] for r in extract_features(assets).collect()}
+    assert again == {r["asset_id"]: r["content_hash"] for r in rows}
+    with pytest.raises(NotImplementedError):
+        decode_real(b"bytes", "image")

@@ -1,0 +1,98 @@
+"""End-to-end pipeline: per-turn text equality under stable turn
+ordering, bucket checkpointing, idempotent resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_parser_spark.plans.pipeline import (
+    PipelineConfig, assert_turn_ordering, completed_buckets, run_extraction,
+    with_bucket,
+)
+from html_parser_spark.sources.transcripts import transcripts_from_documents
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, sf_dir):
+    return transcripts_from_documents(spark, sf_dir, n_convs=50).cache()
+
+
+def test_per_turn_text_equality(spark, transcripts):
+    """The north-rule invariant: extracted main_text equals the known
+    main content for EVERY turn, joined on (conv_id, turn_idx)."""
+    from html_parser_spark.plans.pipeline import extract_turns
+
+    expected = transcripts.select("conv_id", "turn_idx", "expected_main_text")
+    out = extract_turns(transcripts.drop("expected_main_text", "doc_id"),
+                        PipelineConfig(n_buckets=8, n_salts=2))
+    joined = out.join(expected, ["conv_id", "turn_idx"])
+    total = joined.count()
+    mismatches = joined.where(F.col("main_text") != F.col("expected_main_text")).count()
+    assert total == transcripts.count()
+    assert mismatches == 0
+
+
+def test_ordering_assertion_passes_and_detects_violations(spark, transcripts):
+    assert assert_turn_ordering(transcripts) == 0
+    assert assert_turn_ordering(transcripts, strict=True) == 0
+    # break it: duplicate a turn
+    broken = transcripts.union(transcripts.limit(1))
+    assert assert_turn_ordering(broken) >= 1
+
+
+def test_run_and_resume(spark, transcripts, tmp_path):
+    out_dir = str(tmp_path / "out")
+    ctl_dir = str(tmp_path / "control")
+    cfg = PipelineConfig(n_buckets=4, n_salts=2)
+
+    m1 = run_extraction(spark, transcripts.drop("doc_id", "expected_main_text"),
+                        out_dir, ctl_dir, run_id="r1", cfg=cfg)
+    assert m1["rows_total"] == transcripts.count()
+    assert m1["buckets_skipped"] == 0
+    assert completed_buckets(spark, ctl_dir, "r1") == {0, 1, 2, 3}
+
+    # resume same run: everything skipped, output unchanged, control grows idempotently
+    m2 = run_extraction(spark, transcripts.drop("doc_id", "expected_main_text"),
+                        out_dir, ctl_dir, run_id="r1", cfg=cfg)
+    assert m2["buckets_skipped"] == 4
+    assert m2["rows_total"] == m1["rows_total"]
+
+    # output joins back losslessly
+    out = spark.read.parquet(out_dir)
+    assert out.select("conv_id", "turn_idx").distinct().count() == m1["rows_total"]
+    # control table carries lineage metrics
+    ctl = spark.read.parquet(ctl_dir)
+    assert set(ctl.columns) >= {"run_id", "bucket", "n_rows", "n_convs", "wall_sec"}
+    assert ctl.where(F.col("run_id") == "r1").agg(F.sum("n_rows")).collect()[0][0] >= m1["rows_total"]
+
+
+def test_partial_resume_processes_only_missing_buckets(spark, transcripts, tmp_path):
+    out_dir = str(tmp_path / "out2")
+    ctl_dir = str(tmp_path / "control2")
+    cfg = PipelineConfig(n_buckets=4, n_salts=1)
+    src = transcripts.drop("doc_id", "expected_main_text")
+
+    # Simulate a crashed run: process buckets {0,1} only, with control rows.
+    part = with_bucket(src, 4).where(F.col("bucket") < 2)
+    run_extraction(spark, part.drop("bucket"), out_dir, ctl_dir, run_id="r2", cfg=cfg)
+    pre = completed_buckets(spark, ctl_dir, "r2")
+    assert pre == {0, 1}
+
+    m = run_extraction(spark, src, out_dir, ctl_dir, run_id="r2", cfg=cfg)
+    assert m["buckets_skipped"] == 2
+    assert completed_buckets(spark, ctl_dir, "r2") == {0, 1, 2, 3}
+    assert spark.read.parquet(out_dir).count() == src.count()
+
+
+def test_skewed_conversations_are_salted(spark, sf_dir):
+    t = transcripts_from_documents(spark, sf_dir, n_convs=50, skew_pct=2, skew_factor=20)
+    counts = t.groupBy("conv_id").count()
+    mx = counts.agg(F.max("count")).collect()[0][0]
+    med = counts.approxQuantile("count", [0.5], 0.01)[0]
+    assert mx >= 5 * med  # the generator really makes skew
+    from html_parser_spark.plans.pipeline import extract_turns
+
+    out = extract_turns(t.drop("doc_id", "expected_main_text"),
+                        PipelineConfig(n_buckets=4, n_salts=4))
+    assert out.count() == t.count()

@@ -1,0 +1,83 @@
+"""Spark operator layer: pandas-UDF results must equal the kernel run
+directly (same rows), and nulls must propagate."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from html_parser_spark.kernel.extract import extract_main
+from html_parser_spark.kernel.htmlparse import parse
+from html_parser_spark.kernel.matcher import query_all
+from html_parser_spark.kernel.selector import compile_selector
+from html_parser_spark.operators import html_ops
+
+DOCS = [
+    "<div id='a'><ul><li class='w'>x</li><li class='w'>y</li></ul></div>",
+    "<html><body><nav><a href='/'>n</a></nav><main><p>content here</p></main></body></html>",
+    "<p>a &amp; b</p>",
+    "<div<div>",
+    "<script>junk</script><div id='d' data-k='v'>t</div>",
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame([(i, d) for i, d in enumerate(DOCS)], ["i", "html"])
+
+
+def test_query_count_matches_kernel(spark, docs_df):
+    sel = "li.w, div"
+    out = docs_df.select("i", html_ops.query_count_udf(sel)(F.col("html")).alias("n")).orderBy("i").collect()
+    compiled = compile_selector(sel)
+    for row in out:
+        expected = len(query_all(parse(DOCS[row["i"]].encode()), compiled))
+        assert row["n"] == expected
+
+
+def test_extract_struct_matches_kernel(spark, docs_df):
+    ex = html_ops.extract_struct_udf()
+    rows = docs_df.withColumn("e", ex(F.col("html"))).select("i", "e.*").orderBy("i").collect()
+    for row in rows:
+        r = extract_main(DOCS[row["i"]].encode())
+        assert row["main_text"] == r.main_text
+        assert row["n_nodes"] == r.n_nodes
+        assert [(s["start"], s["end"]) for s in row["spans"]] == r.spans
+
+
+def test_null_propagation(spark):
+    df = spark.createDataFrame([(1, None), (2, "<p>x</p>")], ["i", "html"])
+    out = df.select(
+        "i",
+        html_ops.node_count_udf()(F.col("html")).alias("n"),
+        html_ops.extract_struct_udf()(F.col("html")).alias("e"),
+    ).orderBy("i").collect()
+    assert out[0]["n"] is None and out[0]["e"]["main_text"] is None
+    assert out[1]["n"] == 3 and out[1]["e"]["main_text"] == "x"
+
+
+def test_inner_text_and_attr_udfs(spark, docs_df):
+    out = (
+        docs_df.select(
+            "i",
+            html_ops.inner_text_udf("main p")(F.col("html")).alias("t"),
+            html_ops.attr_value_udf("#d", "data-k")(F.col("html")).alias("a"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert out[1]["t"] == "content here"
+    assert out[4]["a"] == "v"
+    assert out[0]["a"] is None
+
+
+def test_serialize_udf(spark, docs_df):
+    out = docs_df.select("i", html_ops.serialize_html_udf("ul")(F.col("html")).alias("h")).orderBy("i").collect()
+    assert out[0]["h"] == "<ul><li class='w'>x</li><li class='w'>y</li></ul>"
+
+
+def test_arrow_batching_is_used(spark):
+    # many rows through one UDF: exercises Iterator[pd.Series] batching
+    n = 2000
+    df = spark.range(n).withColumn("html", F.concat(F.lit("<div id='x'><p>"), F.col("id").cast("string"), F.lit("</p></div>")))
+    got = df.select(F.sum(html_ops.node_count_udf()(F.col("html"))).alias("s")).collect()[0]["s"]
+    assert got == n * 4  # document + div + p + text
