@@ -100,7 +100,7 @@ def parse_attr_items(source: bytes, start: int, end: int) -> List[Tuple[bytes, b
 def attrs_of(dom: Dom, idx: int) -> Dict[bytes, bytes]:
     """Decoded attribute map of element ``idx`` (first occurrence wins),
     parsed once and cached on the Dom."""
-    cached = dom._attrs_cache[idx]
+    cached = dom._attrs_cache.get(idx)
     if cached is not None:
         return cached
     d: Dict[bytes, bytes] = {}

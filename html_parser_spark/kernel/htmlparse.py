@@ -131,7 +131,7 @@ class Dom:
         # lowercased, rest original case) and fully-lowercased form.
         self.name_disp: List[Optional[bytes]] = []
         self.name_lower: List[Optional[bytes]] = []
-        self._attrs_cache: List[Optional[dict]] = []
+        self._attrs_cache: dict = {}
 
     def __len__(self) -> int:
         return len(self.kind)
@@ -289,33 +289,50 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
     sub_a = dom.subtree_end
     nd = dom.name_disp
     nl = dom.name_lower
-    cache = dom._attrs_cache
 
-    def append_node(k: int, p: int, s: int, e: int, ae: int,
-                    disp: Optional[bytes], low: Optional[bytes]) -> int:
+    def append_text(p: int, s: int, e: int) -> int:
+        # Inlined text-node append (hot path; no sibling links —
+        # parser.zig:384 links elements only).
         idx = len(kind)
-        kind.append(k)
+        kind.append(TEXT)
         start_a.append(s)
         end_a.append(e)
-        attr_end_a.append(ae)
+        attr_end_a.append(0)
         parent_a.append(p)
         prev_a.append(INVALID)
         lastc_a.append(INVALID)
         sub_a.append(idx)
+        nd.append(None)
+        nl.append(None)
+        return idx
+
+    def append_element(p: int, s: int, e: int, ae: int, disp: bytes, low: bytes) -> int:
+        idx = len(kind)
+        kind.append(ELEMENT)
+        start_a.append(s)
+        end_a.append(e)
+        attr_end_a.append(ae)
+        parent_a.append(p)
+        # prev_sibling == parent's previous last element child (or INVALID).
+        prev_a.append(lastc_a[p])
+        lastc_a[p] = idx
+        lastc_a.append(INVALID)
+        sub_a.append(idx)
         nd.append(disp)
         nl.append(low)
-        cache.append(None)
-        if k == ELEMENT and p != INVALID:
-            lc = lastc_a[p]
-            if lc == INVALID:
-                lastc_a[p] = idx
-            else:
-                prev_a[idx] = lc
-                lastc_a[p] = idx
         return idx
 
     # Document root.
-    append_node(DOCUMENT, INVALID, 0, 0, 0, None, None)
+    kind.append(DOCUMENT)
+    start_a.append(0)
+    end_a.append(0)
+    attr_end_a.append(0)
+    parent_a.append(INVALID)
+    prev_a.append(INVALID)
+    lastc_a.append(INVALID)
+    sub_a.append(0)
+    nd.append(None)
+    nl.append(None)
     stack = [0]
 
     find = source.find
@@ -332,7 +349,7 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
                     if seg[0] in WS_SET and seg[-1] in WS_SET and not seg.strip(WS_BYTES):
                         emit = False
                 if emit:
-                    append_node(TEXT, stack[-1], i, j, 0, None, None)
+                    append_text(stack[-1], i, j)
             i = j
             continue
 
@@ -343,8 +360,8 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
         c2 = source[i + 1]
         if c2 == 0x2F:  # '</' — closing tag
             i += 2
-            m = _WS_RE.match(source, i)
-            if m:
+            if i < n and source[i] in WS_SET:
+                m = _WS_RE.match(source, i)
                 i = m.end()
             m = _TAGNAME_RE.match(source, i)
             if m:
@@ -393,8 +410,8 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
 
         # Opening tag.
         i += 1
-        m = _WS_RE.match(source, i)
-        if m:
+        if i < n and source[i] in WS_SET:
+            m = _WS_RE.match(source, i)
             i = m.end()
         m = _TAGNAME_RE.match(source, i)
         if m is None:
@@ -403,8 +420,9 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
         name_start = i
         i = m.end()
         raw_name = source[name_start:i]
-        name_disp = raw_name[:8].lower() + raw_name[8:]
         name_l = raw_name.lower()
+        # names <= 8 bytes: display form == fully-lowercased form
+        name_disp = name_l if len(raw_name) <= 8 else raw_name[:8].lower() + raw_name[8:]
 
         if len(stack) > 1 and name_l in _IMPLICIT_TRIGGERS:
             while len(stack) > 1:
@@ -435,7 +453,7 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
 
         if name_l == b"svg":
             svg_self_close = is_explicit_self_closing(source, attr_start, gt)
-            node_idx = append_node(ELEMENT, stack[-1], name_start, name_start + len(raw_name), a_end, name_disp, name_l)
+            node_idx = append_element(stack[-1], name_start, name_start + len(raw_name), a_end, name_disp, name_l)
             if svg_self_close:
                 continue
             content_start = i
@@ -445,21 +463,34 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
                 while content_end > content_start and source[content_end - 1] != 0x3C:
                     content_end -= 1
                 if content_end > content_start:
-                    append_node(TEXT, node_idx, content_start, content_end - 1, 0, None, None)
+                    append_text(node_idx, content_start, content_end - 1)
                 sub_a[node_idx] = len(kind) - 1
                 i = close_end
             else:
                 if n > content_start:
-                    append_node(TEXT, node_idx, content_start, n, 0, None, None)
+                    append_text(node_idx, content_start, n)
                 sub_a[node_idx] = len(kind) - 1
                 i = n
             continue
 
-        node_idx = append_node(ELEMENT, stack[-1], name_start, name_start + len(raw_name), a_end, name_disp, name_l)
+        # inlined append_element (hottest allocation site)
+        p_idx = stack[-1]
+        node_idx = len(kind)
+        kind.append(ELEMENT)
+        start_a.append(name_start)
+        end_a.append(name_start + len(raw_name))
+        attr_end_a.append(a_end)
+        parent_a.append(p_idx)
+        prev_a.append(lastc_a[p_idx])
+        lastc_a[p_idx] = node_idx
+        lastc_a.append(INVALID)
+        sub_a.append(node_idx)
+        nd.append(name_disp)
+        nl.append(name_l)
 
         if not self_close and len(raw_name) == 9 and name_l == b"plaintext":
             if n > i:
-                append_node(TEXT, node_idx, i, n, 0, None, None)
+                append_text(node_idx, i, n)
             sub_a[node_idx] = len(kind) - 1
             i = n
             continue
@@ -469,12 +500,12 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
             if close is not None:
                 content_end, close_end = close
                 if content_end > i:
-                    append_node(TEXT, node_idx, i, content_end, 0, None, None)
+                    append_text(node_idx, i, content_end)
                 sub_a[node_idx] = len(kind) - 1
                 i = close_end
             else:
                 if n > i:
-                    append_node(TEXT, node_idx, i, n, 0, None, None)
+                    append_text(node_idx, i, n)
                 sub_a[node_idx] = len(kind) - 1
                 i = n
             continue

@@ -207,9 +207,40 @@ def _match_chain(dom: Dom, group, ci: int, idx: int, scope_root: Optional[int]) 
     return False
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=512)
+def _plan(selector: Selector):
+    """Split groups into a fast tag-name set (single-compound, tag-only,
+    no anchor) and the remaining groups needing the full chain walk.
+
+    The analog of the reference's tag-candidate query acceleration
+    (document.zig:619-670) for the common `script, style, nav, …`
+    removal selectors: one set lookup instead of N group walks.
+    """
+    simple_tags = set()
+    complex_groups = []
+    for g in selector.groups:
+        if len(g) == 1:
+            c = g[0]
+            if (
+                c.combinator == "none" and c.tag is not None and c.id is None
+                and not c.classes and not c.attrs and not c.pseudos and not c.nots
+            ):
+                simple_tags.add(c.tag)
+                continue
+        if g:
+            complex_groups.append(g)
+    return frozenset(simple_tags), tuple(complex_groups)
+
+
 def matches_at(dom: Dom, selector: Selector, idx: int, scope_root: Optional[int] = None) -> bool:
-    for group in selector.groups:
-        if group and _match_chain(dom, group, len(group) - 1, idx, scope_root):
+    simple_tags, complex_groups = _plan(selector)
+    if simple_tags and dom.kind[idx] == ELEMENT and dom.name_lower[idx] in simple_tags:
+        return True
+    for group in complex_groups:
+        if _match_chain(dom, group, len(group) - 1, idx, scope_root):
             return True
     return False
 
@@ -222,10 +253,20 @@ def iter_query(dom: Dom, selector: Selector, scope_root: Optional[int] = None) -
     else:
         lo, hi = scope_root + 1, dom.subtree_end[scope_root]
     kinds = dom.kind
+    names = dom.name_lower
+    simple_tags, complex_groups = _plan(selector)
     for idx in range(lo, min(hi, n - 1) + 1):
         if kinds[idx] != ELEMENT:
             continue
-        if matches_at(dom, selector, idx, scope_root):
+        if simple_tags and names[idx] in simple_tags:
+            yield idx
+            continue
+        matched = False
+        for group in complex_groups:
+            if _match_chain(dom, group, len(group) - 1, idx, scope_root):
+                matched = True
+                break
+        if matched:
             yield idx
 
 
