@@ -278,8 +278,70 @@ def q_ann_cosine_topk(spark, sf_dir):
     top = cosine_topk(e.where(F.col("vec_id") != 0), [float(x) for x in qvec], k=5)
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
+def q_html_serialize(spark, sf_dir):
+    """writeHtml round-trip: first li subtree re-serialized verbatim
+    (raw attrs untouched — node.zig:174-311 semantics)."""
+    df = _docs(spark, sf_dir).withColumn("html", _word_list_html())
+    return df.select(
+        "doc_id",
+        html_ops.serialize_html_udf("#r ul li:first-child")(F.col("html")).alias("li_html"),
+    )
+
+def q_html_parse_stats(spark, sf_dir):
+    """ParseInstrumentationStats fields (instrumentation.zig:18-32);
+    elapsed_ns is non-deterministic and excluded from the compare."""
+    df = _docs(spark, sf_dir).withColumn("html", _word_list_html())
+    st = html_ops.parse_stats_udf()(F.col("html"))
+    return df.select(
+        "doc_id",
+        st["input_len"].alias("input_len"),
+        st["node_count"].alias("node_count"),
+    )
+
+def q_html_explain_miss(spark, sf_dir):
+    """explainFirstMatch diagnostics on a guaranteed-miss selector
+    (matcher_debug.zig:18-70): all elements visited, near-miss capacity
+    8, first failure classified as tag."""
+    df = _docs(spark, sf_dir).withColumn("html", _word_list_html())
+    ex = html_ops.explain_udf("em.missing")(F.col("html"))
+    return df.select(
+        "doc_id",
+        ex["visited_elements"].alias("visited_elements"),
+        ex["n_near_misses"].alias("n_near_misses"),
+        ex["first_failure_kind"].alias("first_failure_kind"),
+    )
+
+def q_token_estimate(spark, sf_dir):
+    from html_parser_spark.operators.textstats import subword_estimate, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        subword_estimate("text").alias("n_subwords"),
+    )
+
+def q_embedding_neardup(spark, sf_dir):
+    from html_parser_spark.operators.dedup import embedding_near_dups
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") < 200)
+    out = embedding_near_dups(e, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
 # --- rows-only entries (no SQL-expressible oracle; driver records the
 # weaker check; full verification lives in tests/) ---------------------
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF scale path: probe 2 of 8 deterministic cells, exact top-k
+    inside (partition-pruned fraction of a full scan at 10^9 vectors).
+    Verified in tests/ against brute force; rows-only here."""
+    from html_parser_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    indexed, cents = build_ivf_index(e.where(F.col("vec_id") != 0), num_cells=8)
+    top = ivf_topk(indexed, cents, qvec, k=5, nprobe=2)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 def q_lsh_candidate_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
@@ -332,6 +394,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "html_serialize": q_html_serialize,
+        "html_parse_stats": q_html_parse_stats,
+        "html_explain_miss": q_html_explain_miss,
+        "token_estimate": q_token_estimate,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
@@ -527,5 +595,47 @@ def oracle_sql() -> dict[str, str]:
                  (select embedding from embeddings where vec_id = 0) q
             where e.vec_id <> 0
             order by cosine desc, e.vec_id asc limit 5
+        """,
+        "html_serialize": """
+            select doc_id,
+                   concat('<li class=''w''>', string_split(text, ' ')[1], '</li>') as li_html
+            from documents
+        """,
+        "html_parse_stats": """
+            select doc_id,
+                   28 + 18 * len(string_split(text, ' ')) + strlen(text) as input_len,
+                   3 + 2 * len(string_split(text, ' ')) as node_count
+            from documents
+        """,
+        "html_explain_miss": """
+            select doc_id,
+                   2 + len(string_split(text, ' ')) as visited_elements,
+                   least(2 + len(string_split(text, ' ')), 8) as n_near_misses,
+                   'tag' as first_failure_kind
+            from documents
+        """,
+        "token_estimate": """
+            select doc_id,
+                   len(string_split(text, ' ')) as n_tokens,
+                   cast(ceil(strlen(text) / 4.0) as bigint) as n_subwords
+            from documents
+        """,
+        "embedding_neardup": """
+            with e as (
+              select vec_id as id,
+                     list_transform(embedding, x -> cast(x as double)) as v,
+                     (list_sum(list_transform(generate_series(1, len(embedding)),
+                        i -> cast(embedding[i] as double) *
+                             (case when cast(concat('0x', substr(md5('plane:' || (i-1)), 1, 4)) as int) % 2 = 0
+                                   then 1.0 else -1.0 end))) >= 0) as bucket
+              from embeddings where vec_id < 200
+            ), scored as (
+              select a.id as id_a, b.id as id_b,
+                     list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x*x)))) as c
+              from e a join e b on a.bucket = b.bucket and a.id < b.id
+            )
+            select id_a, id_b, round(c, 4) as cosine from scored where c >= 0.3
         """,
     }

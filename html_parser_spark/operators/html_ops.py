@@ -155,6 +155,76 @@ def extract_struct_udf(
     return udf
 
 
+EXPLAIN_SCHEMA = StructType([
+    StructField("matched_index", IntegerType(), True),
+    StructField("matched_group", IntegerType(), True),
+    StructField("visited_elements", IntegerType(), True),
+    StructField("n_near_misses", IntegerType(), True),
+    StructField("first_failure_kind", StringType(), True),
+])
+
+
+def explain_udf(selector):
+    """Near-miss diagnostics of the first-match scan per document —
+    explainFirstMatch as a diagnostics column (matcher_debug.zig:18-70).
+    ``matched_index``/``matched_group`` are null on no match;
+    ``first_failure_kind`` is the classified failure of the first
+    near-miss (tag|id|class|attr|pseudo|not_simple|combinator|scope)."""
+    from ..kernel.matcher_debug import explain_first_match
+    from ..kernel.htmlparse import INVALID
+
+    sel = _compiled(selector)
+
+    def one(h: str):
+        rpt = explain_first_match(parse(h.encode("utf-8")), sel)
+        return {
+            "matched_index": None if rpt.matched_index == INVALID else rpt.matched_index,
+            "matched_group": None if rpt.matched_index == INVALID else rpt.matched_group,
+            "visited_elements": rpt.visited_elements,
+            "n_near_misses": len(rpt.near_misses),
+            "first_failure_kind": rpt.near_misses[0].reason.kind if rpt.near_misses else None,
+        }
+
+    cols = [f.name for f in EXPLAIN_SCHEMA.fields]
+
+    @F.pandas_udf(EXPLAIN_SCHEMA)
+    def udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in it:
+            rows = [dict.fromkeys(cols) if v is None else one(v) for v in s]
+            yield pd.DataFrame(rows, columns=cols)
+    return udf
+
+
+PARSE_STATS_SCHEMA = StructType([
+    StructField("input_len", LongType(), True),
+    StructField("node_count", IntegerType(), True),
+    StructField("elapsed_ns", LongType(), True),
+])
+
+
+def parse_stats_udf():
+    """Per-document ParseInstrumentationStats
+    (instrumentation.zig:18-32): input_len, node_count, elapsed_ns.
+    Aggregated over a table these are the parse-side metrics the
+    pipeline writes to its control table."""
+    from ..kernel.instrumentation import parse_with_hooks
+
+    def one(h: str):
+        box = {}
+        parse_with_hooks(h, on_parse_end=lambda st: box.update(
+            input_len=st.input_len, node_count=st.node_count, elapsed_ns=st.elapsed_ns))
+        return box
+
+    cols = [f.name for f in PARSE_STATS_SCHEMA.fields]
+
+    @F.pandas_udf(PARSE_STATS_SCHEMA)
+    def udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in it:
+            rows = [dict.fromkeys(cols) if v is None else one(v) for v in s]
+            yield pd.DataFrame(rows, columns=cols)
+    return udf
+
+
 def serialize_html_udf(selector):
     """Re-serialize the first matching subtree (writeHtml semantics for
     a pristine parse: raw attrs verbatim, void tags unclosed)."""
