@@ -51,7 +51,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "100"))
-SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPLICATE", "600"))
+SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPLICATE", "300"))
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "4"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", str(4 * SCALE_LOW)))
