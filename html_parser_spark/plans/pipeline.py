@@ -120,8 +120,10 @@ CONTROL_COLUMNS = [
 
 
 def completed_buckets(spark: SparkSession, control_dir: str, run_id: str):
+    from ..sources.catalog import read_table
+
     try:
-        ctl = spark.read.parquet(control_dir)
+        ctl = read_table(spark, control_dir)
     except Exception:
         return set()
     rows = ctl.where(F.col("run_id") == run_id).select("bucket").distinct().collect()
@@ -161,17 +163,22 @@ def run_extraction(
         if violations:
             raise ValueError(f"turn-ordering violated in {violations} conversations")
 
+    from ..sources.catalog import read_table, write_table
+
     extracted = extract_turns(df, cfg)
     # One shuffle, of the (much smaller) extracted columns only: groups
     # each bucket into one task's output files instead of every task
     # writing a sliver of every bucket partition (small-files blowup).
-    extracted.repartition(cfg.n_buckets, F.col("bucket")) \
-        .write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+    # write_table: Iceberg overwritePartitions when dst is a table
+    # identifier and the runtime is present, parquet dynamic partition
+    # overwrite otherwise (same idempotency either way).
+    write_table(
+        extracted.repartition(cfg.n_buckets, F.col("bucket")), out_dir)
 
     finished = time.time()
     # Lineage/metrics per bucket, computed from the committed output.
     done = (
-        spark.read.parquet(out_dir)
+        read_table(spark, out_dir)
         .where(~F.col("bucket").isin(sorted(skipped)) if skipped else F.lit(True))
         .groupBy("bucket")
         .agg(
@@ -185,9 +192,14 @@ def run_extraction(
         .withColumn("wall_sec", F.lit(round(finished - started, 3)))
         .select(*CONTROL_COLUMNS)
     )
-    done.write.mode("append").parquet(control_dir)
+    # Control rows append (Iceberg append when dst is a table ident).
+    from ..sources.catalog import iceberg_available
+    if "/" not in control_dir and "." in control_dir and iceberg_available(spark):
+        done.writeTo(control_dir).append()
+    else:
+        done.write.mode("append").parquet(control_dir)
 
-    n_rows = spark.read.parquet(out_dir).count()
+    n_rows = read_table(spark, out_dir).count()
     return {
         "run_id": run_id,
         "rows_total": n_rows,

@@ -1,0 +1,68 @@
+"""Table IO abstraction: Iceberg when available, parquet fallback.
+
+The production target (north rule) is Iceberg tables of transcripts
+partitioned by ``bucket(N, conv_id)``.  This sandbox ships no Iceberg
+runtime jar, so every entry point takes either an Iceberg table
+identifier (``catalog.db.table``) or a filesystem path; Iceberg use is
+gated behind a capability probe and everything degrades to plain
+parquet with identical semantics.  The pipeline's idempotency story
+maps 1:1:
+
+| Concern | Iceberg | Parquet fallback (what tests exercise) |
+|---|---|---|
+| partition layout | ``bucket(N, conv_id)`` hidden partitioning | explicit ``bucket`` column + ``partitionBy("bucket")`` |
+| idempotent bucket rewrite | ``overwritePartitions()`` (dynamic) | ``partitionOverwriteMode=dynamic`` |
+| commit record | Iceberg snapshot + control rows | control table rows only |
+| resume | anti-join control rows, same either way | same |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog/runtime is on the classpath."""
+    try:
+        # py4j resolves missing packages lazily (truthy JavaPackage), so
+        # force real classloading.
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def _is_table_ident(src: str) -> bool:
+    return "/" not in src and "." in src
+
+
+def read_table(spark: SparkSession, src: str) -> DataFrame:
+    """Read transcripts from an Iceberg table identifier or a parquet
+    path; Catalyst gets partition pruning + column pruning either way."""
+    if _is_table_ident(src) and iceberg_available(spark):
+        return spark.read.format("iceberg").load(src)
+    return spark.read.parquet(src)
+
+
+def write_table(
+    df: DataFrame,
+    dst: str,
+    partition_col: str = "bucket",
+    mode: str = "overwrite",
+) -> None:
+    """Write partitioned output idempotently.
+
+    Iceberg identifier → ``writeTo(...).overwritePartitions()`` (atomic
+    dynamic partition replace); path → parquet ``partitionBy`` with
+    dynamic partition overwrite (caller sets the session conf, see
+    plans/pipeline.py).
+    """
+    spark = df.sparkSession
+    if _is_table_ident(dst) and iceberg_available(spark):
+        w = df.writeTo(dst)
+        if mode == "overwrite":
+            w.overwritePartitions()
+        else:
+            w.append()
+        return
+    df.write.mode(mode).partitionBy(partition_col).parquet(dst)
