@@ -328,8 +328,10 @@ def q_embedding_neardup(spark, sf_dir):
     out = embedding_near_dups(e, threshold=0.3)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
-# --- rows-only entries (no SQL-expressible oracle; driver records the
-# weaker check; full verification lives in tests/) ---------------------
+# q_ann_ivf_topk is the single rows-only entry (nearest-centroid
+# assignment with struct tie-breaking is not reasonably SQL-expressible;
+# tests/ verify it against brute force).  Everything else below has a
+# DuckDB oracle.
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF scale path: probe 2 of 8 deterministic cells, exact top-k
@@ -432,6 +434,34 @@ def _simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
         )
         select id, {total} as simhash
         from wh group by id
+    """
+
+
+def _lang_id_oracle_sql() -> str:
+    """Stopword-hit argmax with tie-break toward the alphabetically
+    first language code (matches operators/textstats.lang_id)."""
+    from html_parser_spark.operators.textstats import STOPWORDS
+
+    hits = {}
+    for code in sorted(STOPWORDS):
+        lst = ", ".join(f"'{s}'" for s in STOPWORDS[code])
+        hits[code] = (
+            f"len(list_filter(string_split(text, ' '), x -> list_contains([{lst}], x)))"
+        )
+    return f"""
+        with h as (
+            select doc_id,
+                   {hits['de']} as h_de, {hits['en']} as h_en,
+                   {hits['es']} as h_es, {hits['fr']} as h_fr
+            from documents where doc_id < 200
+        )
+        select doc_id, case
+            when greatest(h_de, h_en, h_es, h_fr) = 0 then 'und'
+            when h_de >= h_en and h_de >= h_es and h_de >= h_fr then 'de'
+            when h_en >= h_es and h_en >= h_fr then 'en'
+            when h_es >= h_fr then 'es'
+            else 'fr' end as lang_pred
+        from h
     """
 
 
@@ -619,6 +649,40 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) as n_tokens,
                    cast(ceil(strlen(text) / 4.0) as bigint) as n_subwords
             from documents
+        """,
+        "lsh_candidate_pairs": f"""
+            with mh as (
+                select id, seed,
+                       min(md5(concat(seed, ':', shingle))) as minhash
+                from (
+                    select doc_id as id, unnest({_shingles_sql(3)}) as shingle
+                    from documents where doc_id < 500
+                ), (select unnest([0,1,2,3,4,5,6,7]) as seed)
+                group by id, seed
+            ), banded as (
+                select id, cast(seed // 2 as int) as band,
+                       md5(string_agg(minhash, '|' order by minhash)) as band_key
+                from mh group by id, band
+            )
+            select distinct a.id as id_a, b.id as id_b
+            from banded a
+            join banded b on a.band = b.band and a.band_key = b.band_key
+                         and a.id < b.id
+        """,
+        "lang_id": _lang_id_oracle_sql(),
+        "multimodal_features": """
+            with a as (
+                select i as asset_id,
+                       ['image','audio','video'][cast(i % 3 as int) + 1] as kind,
+                       repeat(sha256(cast(i as varchar)), cast(1 + i % 7 as int)) as payload
+                from (select unnest(generate_series(0, 63)) as i)
+            )
+            select asset_id, kind,
+                   strlen(payload) as n_bytes,
+                   md5(payload) as content_hash,
+                   16 + cast(concat('0x', substr(md5(payload), 1, 2)) as int) % 64 as width,
+                   16 + cast(concat('0x', substr(md5(payload), 3, 2)) as int) % 64 as height
+            from a
         """,
         "embedding_neardup": """
             with e as (

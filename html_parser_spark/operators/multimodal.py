@@ -88,10 +88,16 @@ def extract_features(assets: DataFrame, use_real_codec: bool = False) -> DataFra
 
 
 def synth_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic asset table for tests/demos."""
+    """Deterministic synthetic asset table for tests/demos.
+
+    Payload bytes are the ASCII sha256 hexdigest of the asset id,
+    repeated — opaque binary to the pipeline, but reproducible by a
+    SQL oracle (``repeat(sha256(cast(i as varchar)), 1 + i % 7)``) so
+    the whole mapInPandas feature path is value-checked end to end.
+    """
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(str(i).encode()).digest() * (1 + i % 7)
+        payload = hashlib.sha256(str(i).encode()).hexdigest().encode() * (1 + i % 7)
         rows.append((i, kinds[i % 3], bytearray(payload), {"src": f"synth://{i}"}))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
