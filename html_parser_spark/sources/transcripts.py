@@ -62,20 +62,33 @@ def transcripts_from_documents(
         docs = docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
     else:
         docs = docs.withColumn("rep", F.lit(0))
+    conv_num = F.pmod(F.col("doc_id"), F.lit(n_convs))
+    base_turn = F.floor(F.col("doc_id") / F.lit(n_convs)).cast("int")
     if skew_pct > 0 and skew_factor > 1:
-        # Skewed conversations get skew_factor copies of each turn.
-        is_skewed = (F.pmod(F.col("doc_id"), F.lit(n_convs * 100 // skew_pct)) < F.lit(n_convs))
-        docs = docs.withColumn(
-            "skew", F.explode(F.sequence(F.lit(0), F.when(is_skewed, skew_factor - 1).otherwise(0)))
+        # The first ceil(n_convs*skew_pct/100) conversations get
+        # skew_factor copies of every turn IN THE SAME conversation
+        # (turn indexes stay dense: base_turn*factor + copy), so a few
+        # conversations are genuinely skew_factor× longer — the
+        # monster-conversation shape the salting path exists for.
+        n_skewed = max((n_convs * skew_pct + 99) // 100, 1)
+        is_skewed = conv_num < F.lit(n_skewed)
+        docs = docs.withColumn("conv_num", conv_num).withColumn(
+            "skew",
+            F.explode(F.sequence(
+                F.lit(0), F.when(is_skewed, skew_factor - 1).otherwise(0))),
         )
+        turn = F.when(
+            F.col("conv_num") < n_skewed,
+            base_turn * skew_factor + F.col("skew"),
+        ).otherwise(base_turn).cast("int")
     else:
-        docs = docs.withColumn("skew", F.lit(0))
+        docs = docs.withColumn("conv_num", conv_num).withColumn("skew", F.lit(0))
+        turn = base_turn
 
     conv = F.concat(
         F.lit("conv"),
-        F.lpad((F.pmod(F.col("doc_id"), F.lit(n_convs)) + F.col("rep") * n_convs + F.col("skew") * 1_000_000).cast("string"), 7, "0"),
+        F.lpad((F.col("conv_num") + F.col("rep") * n_convs).cast("string"), 7, "0"),
     )
-    turn = F.floor(F.col("doc_id") / F.lit(n_convs)).cast("int")
     role = F.element_at(F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")), turn % 3 + 1)
     tool = F.when(turn % 3 == 2, F.lit("browser")).otherwise(F.lit(""))
     ts = F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=F.col("doc_id") * 17)

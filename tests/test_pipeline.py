@@ -91,8 +91,33 @@ def test_skewed_conversations_are_salted(spark, sf_dir):
     mx = counts.agg(F.max("count")).collect()[0][0]
     med = counts.approxQuantile("count", [0.5], 0.01)[0]
     assert mx >= 5 * med  # the generator really makes skew
-    from html_parser_spark.plans.pipeline import extract_turns
+    from html_parser_spark.plans.pipeline import extract_turns, with_bucket
 
     out = extract_turns(t.drop("doc_id", "expected_main_text"),
                         PipelineConfig(n_buckets=4, n_salts=4))
     assert out.count() == t.count()
+
+    # The salted pre-shuffle really spreads a monster conversation over
+    # multiple tasks: its rows land in >1 physical partition, while the
+    # unsalted repartition(bucket) would pin each conv to exactly one.
+    # Explicit partition count: plain repartition(cols) lets AQE
+    # coalesce this tiny shuffle into ONE partition, which is correct
+    # behavior at test scale but would hide what salting does at real
+    # scale (where partitions are ~64 MB and never collapse).
+    monster = counts.orderBy(F.col("count").desc()).first()["conv_id"]
+    salted = with_bucket(t, 4).repartition(
+        8,
+        F.col("bucket"),
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4)).cast("int"),
+    ).withColumn("pid", F.spark_partition_id())
+    n_parts = (salted.where(F.col("conv_id") == monster)
+               .select("pid").distinct().count())
+    assert n_parts > 1
+
+    # And the salted path produces byte-identical extraction output.
+    out_salted = extract_turns(
+        t.drop("doc_id", "expected_main_text"),
+        PipelineConfig(n_buckets=4, n_salts=4, shuffle_before_extract=True))
+    a = out.select("conv_id", "turn_idx", "main_text")
+    b = out_salted.select("conv_id", "turn_idx", "main_text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
