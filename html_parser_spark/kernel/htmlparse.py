@@ -53,6 +53,20 @@ _WS_RE = re.compile(rb"[ \t\n\r\x0c]+")
 _TAGNAME_RE = re.compile(rb"[^ \t\n\r\x0c/>\x00]+")
 # Tag-end scan targets: '>' or a quote.
 _GTQ_RE = re.compile(rb"[>\"']")
+# Fused open-tag scanner: optional whitespace, tag name, quote-aware
+# attribute run, optional terminating '>' — one C-level regex call
+# replaces ws-skip + name-match + find_tag_end on the open-tag path
+# (throughput-neutral overall vs the split scans — the win on
+# attr-heavy tags offsets the loss of the attr-less '>' short-circuit —
+# kept for the simpler single-exit control flow; equivalence pinned by
+# a 30k-input differential fuzz).  Group 3 empty ⇒ unterminated tag
+# (EOF or unclosed quote) ⇒ fall back to the slow path.
+_OPEN_FAST = re.compile(
+    rb"""[ \t\n\r\x0c]*([^ \t\n\r\x0c/>\x00]+)((?:[^>"']|"[^"]*"|'[^']*')*)(>?)"""
+)
+# Fused closing-tag scanner: whitespace, name, junk-to-'>' (closing
+# tags ignore quotes, parser.zig:296-365).
+_CLOSE_FAST = re.compile(rb"[ \t\n\r\x0c]*([^ \t\n\r\x0c/>\x00]*)[^>]*(>?)")
 
 VOID_TAGS = frozenset(
     (
@@ -359,18 +373,9 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
 
         c2 = source[i + 1]
         if c2 == 0x2F:  # '</' — closing tag
-            i += 2
-            if i < n and source[i] in WS_SET:
-                m = _WS_RE.match(source, i)
-                i = m.end()
-            m = _TAGNAME_RE.match(source, i)
-            if m:
-                cname = source[i:m.end()].lower()
-                i = m.end()
-            else:
-                cname = b""
-            gt = find(b">", i)
-            i = n if gt < 0 else gt + 1
+            m = _CLOSE_FAST.match(source, i + 2)
+            cname = m.group(1).lower()
+            i = m.end() if m.group(2) else n
             if not cname:
                 continue
             if len(stack) > 1 and nl[stack[-1]] == cname:
@@ -408,18 +413,20 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
                 i = n if gt < 0 else gt + 1
             continue
 
-        # Opening tag.
-        i += 1
-        if i < n and source[i] in WS_SET:
-            m = _WS_RE.match(source, i)
-            i = m.end()
-        m = _TAGNAME_RE.match(source, i)
+        # Opening tag (fused scan: ws + name + quote-aware attrs + '>').
+        m = _OPEN_FAST.match(source, i + 1)
         if m is None:
+            # no tag name after optional whitespace — advance past the
+            # whitespace plus one char, as the unfused path did
+            i += 1
+            if i < n and source[i] in WS_SET:
+                w = _WS_RE.match(source, i)
+                i = w.end()
             i = min(i + 1, n)
             continue
-        name_start = i
-        i = m.end()
-        raw_name = source[name_start:i]
+        name_start = m.start(1)
+        raw_name = m.group(1)
+        i = m.end(1)
         name_l = raw_name.lower()
         # names <= 8 bytes: display form == fully-lowercased form
         name_disp = name_l if len(raw_name) <= 8 else raw_name[:8].lower() + raw_name[8:]
@@ -435,11 +442,12 @@ def parse(source, drop_whitespace_text_nodes: bool = False) -> Dom:
                 sub_a[idx] = len(kind) - 1
 
         attr_start = i
-        if i < n and source[i] == 0x3E:
-            gt = i
-            a_end = i
-            i += 1
+        if m.group(3):  # fused scan found the unquoted '>'
+            gt = m.end() - 1
+            a_end = gt
+            i = m.end()
         else:
+            # unterminated tag (EOF / unclosed quote): slow path
             te = find_tag_end(source, i)
             if te is None:
                 a_end = n
