@@ -145,6 +145,14 @@ class Node:
         return [Node(self.doc, i)
                 for i in query_all(self.doc.dom, _compiled(sel), scope_root=self.index)]
 
+    def query_one_debug(self, sel: SelectorLike):
+        """Scoped debug query: (first match in this subtree or None,
+        QueryDebugReport) — node-level member of the debug query family
+        (DOCUMENTATION.md "Scoped queries")."""
+        rpt = explain_first_match(self.doc.dom, _compiled(sel), scope_root=self.index)
+        node = None if rpt.matched_index == INVALID else Node(self.doc, rpt.matched_index)
+        return node, rpt
+
     def matches(self, sel: SelectorLike) -> bool:
         """matchesSelectorAt (matcher.zig:34-41)."""
         return matches_at(self.doc.dom, _compiled(sel), self.index)

@@ -126,3 +126,15 @@ def test_matches_and_outer_html():
     assert li.prev_sibling().matches("li.a")
     assert li.next_sibling() is None
     assert li.parent_node().tag_name == "ul"
+
+
+# node-scoped debug query (DOCUMENTATION.md scoped-queries family)
+def test_node_scoped_debug_query():
+    doc = Document.parse(
+        "<div id='a'><p class='x'>1</p></div><div id='b'><p class='y'>2</p></div>")
+    b = doc.query_one("div#b")
+    node, rpt = b.query_one_debug("p.x")
+    assert node is None
+    assert rpt.visited_elements == 1          # only the subtree of #b
+    node2, rpt2 = b.query_one_debug("p.y")
+    assert node2 is not None and node2.inner_text() == "2"
