@@ -35,7 +35,7 @@ from .kernel.matcher import (
     query_all, query_one,
 )
 from .kernel.matcher_debug import QueryDebugReport, explain_first_match
-from .kernel.selector import Selector, compile_selector
+from .kernel.selector import Selector, SelectorError, compile_selector
 from .kernel.serialize import write_html
 from .kernel.text import inner_text
 
@@ -44,6 +44,21 @@ SelectorLike = Union[str, Selector]
 
 def _compiled(sel: SelectorLike) -> Selector:
     return sel if isinstance(sel, Selector) else compile_selector(sel)
+
+
+def _compile_debug(sel: SelectorLike) -> Selector:
+    """Compile for the debug query family: parse failures raise
+    SelectorError carrying a report with ``runtime_parse_error`` set
+    (the reference both errors AND fills the report —
+    document.zig:1911-1923)."""
+    if isinstance(sel, Selector):
+        return sel
+    try:
+        return compile_selector(sel)
+    except SelectorError as e:
+        rpt = QueryDebugReport(selector_source=sel, runtime_parse_error=True)
+        e.report = rpt
+        raise
 
 
 class Node:
@@ -149,7 +164,7 @@ class Node:
         """Scoped debug query: (first match in this subtree or None,
         QueryDebugReport) — node-level member of the debug query family
         (DOCUMENTATION.md "Scoped queries")."""
-        rpt = explain_first_match(self.doc.dom, _compiled(sel), scope_root=self.index)
+        rpt = explain_first_match(self.doc.dom, _compile_debug(sel), scope_root=self.index)
         node = None if rpt.matched_index == INVALID else Node(self.doc, rpt.matched_index)
         return node, rpt
 
@@ -184,8 +199,13 @@ class Document:
 
     def query_one_debug(self, sel: SelectorLike):
         """(first match or None, QueryDebugReport) — the
-        queryOneRuntimeDebug analog (document.zig + matcher_debug.zig)."""
-        rpt: QueryDebugReport = explain_first_match(self.dom, _compiled(sel))
+        queryOneRuntimeDebug analog (document.zig + matcher_debug.zig).
+
+        An invalid selector string raises :class:`SelectorError` (the
+        reference raises InvalidSelector) with a ``.report`` attribute
+        whose ``runtime_parse_error`` is set and ``selector_source``
+        echoes the bad source (document.zig:1911-1923)."""
+        rpt: QueryDebugReport = explain_first_match(self.dom, _compile_debug(sel))
         node = None if rpt.matched_index == INVALID else Node(self, rpt.matched_index)
         return node, rpt
 

@@ -61,6 +61,7 @@ class QueryDebugReport:
     visited_elements: int = 0
     matched_index: int = INVALID
     matched_group: int = INVALID_SMALL
+    runtime_parse_error: bool = False
     group_count: int = 0
     group_eval_counts: List[int] = field(default_factory=lambda: [0] * MAX_SELECTOR_GROUPS)
     group_match_counts: List[int] = field(default_factory=lambda: [0] * MAX_SELECTOR_GROUPS)

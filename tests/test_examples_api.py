@@ -138,3 +138,16 @@ def test_node_scoped_debug_query():
     assert rpt.visited_elements == 1          # only the subtree of #b
     node2, rpt2 = b.query_one_debug("p.y")
     assert node2 is not None and node2.inner_text() == "2"
+
+
+# document.zig:1911-1923 — debug query reports runtime selector parse errors
+def test_debug_query_parse_error_report():
+    import pytest
+    from html_parser_spark.kernel.selector import SelectorError
+
+    doc = Document.parse("<div id='x'></div>")
+    with pytest.raises(SelectorError) as exc:
+        doc.query_one_debug("div[")
+    rpt = exc.value.report
+    assert rpt.runtime_parse_error is True
+    assert rpt.selector_source == "div["
