@@ -20,6 +20,10 @@ Methodology (what is and isn't inside the timed region):
 * Python UDF workers are **warmed** with one identical untimed run, so
   worker fork/import cost (a fixed per-executor cost that a
   long-running cluster job pays once) is not billed to throughput;
+* scaling children time THREE runs and report the minimum, and the
+  hardware control is best-of-2 per level — this sandbox has noisy
+  neighbors (identical configs have measured 2× apart), and the
+  minimum wall is the least-contaminated observation;
 * scaling evidence (BASELINE.json north rule; no real cluster in this
   sandbox): the identical job runs in fresh subprocesses at two
   parallelism levels (default local[4] vs local[16] — N and 4N) on the
@@ -88,7 +92,7 @@ def materialize_input(spark, sf_dir: str, replicate: int, out_dir: str) -> int:
     return spark.read.parquet(out_dir).count()
 
 
-def extraction_throughput(spark, input_dir: str, n_turns: int):
+def extraction_throughput(spark, input_dir: str, n_turns: int, timed_runs: int = 1):
     """Turns/sec of the production-shaped extraction job: parquet scan
     → map-only kernel (no input shuffle — see plans/pipeline.py) →
     aggregate.  No disk sink; count + checksum force full computation."""
@@ -112,13 +116,21 @@ def extraction_throughput(spark, input_dir: str, n_turns: int):
     # job pays once, not a per-row cost.  Steady state is what scales.
     run_once()
 
-    t0 = time.time()
-    agg = run_once()
-    wall = time.time() - t0
+    # Min of `timed_runs` repeats: this sandbox has noisy neighbors
+    # (identical configs have measured 2× apart); the minimum wall is
+    # the least-contaminated observation of the job's true cost.
+    walls = []
+    agg = None
+    for _ in range(timed_runs):
+        t0 = time.time()
+        agg = run_once()
+        walls.append(time.time() - t0)
+    wall = min(walls)
     assert agg["n"] == n_turns, (agg["n"], n_turns)
     return {
         "turns": n_turns,
         "wall_sec": round(wall, 3),
+        "walls_sec": [round(w, 3) for w in walls],
         "turns_per_sec": round(n_turns / wall, 1),
         "mb_out": round(agg["chars"] / 1e6, 1),
         "nodes": int(agg["nodes"]),
@@ -151,7 +163,7 @@ def run_headline_queries(spark, sf_dir: str):
 def child_main(cores: int, input_dir: str, n_turns: int) -> None:
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    res = extraction_throughput(spark, input_dir, n_turns)
+    res = extraction_throughput(spark, input_dir, n_turns, timed_runs=3)
     spark.stop()
     print(json.dumps({"cores": cores, **res}))
 
@@ -197,14 +209,18 @@ def hardware_control(sf_dir: str, seconds: float = 6.0) -> dict:
     pages = [(PAGE_PREFIX + t + PAGE_SUFFIX).encode() for t in texts]
 
     out = {}
+    best = {SCALE_LOW: 0.0, SCALE_HIGH: 0.0}
+    for _round in range(2):  # best-of-2 per level (noisy neighbors)
+        for nproc in (SCALE_LOW, SCALE_HIGH):
+            with mp.Pool(nproc) as pool:
+                t0 = time.perf_counter()
+                counts = pool.map(_control_worker, [(pages, seconds)] * nproc)
+                wall = time.perf_counter() - t0
+            best[nproc] = max(best[nproc], sum(counts) / wall)
     for nproc in (SCALE_LOW, SCALE_HIGH):
-        with mp.Pool(nproc) as pool:
-            t0 = time.perf_counter()
-            counts = pool.map(_control_worker, [(pages, seconds)] * nproc)
-            wall = time.perf_counter() - t0
         out[f"procs[{nproc}]"] = {
-            "docs_per_sec": round(sum(counts) / wall, 1),
-            "docs_per_sec_per_proc": round(sum(counts) / wall / nproc, 1),
+            "docs_per_sec": round(best[nproc], 1),
+            "docs_per_sec_per_proc": round(best[nproc] / nproc, 1),
         }
     lo = out[f"procs[{SCALE_LOW}]"]["docs_per_sec"]
     hi = out[f"procs[{SCALE_HIGH}]"]["docs_per_sec"]
