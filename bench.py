@@ -24,22 +24,24 @@ Methodology (what is and isn't inside the timed region):
   hardware control is best-of-2 per level — this sandbox has noisy
   neighbors (identical configs have measured 2× apart), and the
   minimum wall is the least-contaminated observation;
-* scaling evidence (BASELINE.json north rule; no real cluster in this
-  sandbox): the identical job runs in fresh subprocesses at two
-  parallelism levels (default local[4] vs local[16] — N and 4N) on the
-  SAME materialized input; efficiency = (T_low / T_high) /
-  (cores_high / cores_low).  The input is sized (``SCALE_REPLICATE``)
-  so kernel compute dominates fixed job overhead.  Because both levels
-  share ONE socket's frequency/memory budget (unlike a real N→4N
-  scale-out, which adds machines), a no-Spark multiprocessing
-  **hardware control** runs the raw kernel at the same two process
-  counts; ``normalized_efficiency`` = Spark speedup / control speedup
-  is the machine-independent number.  Skip with
+* scaling evidence (BASELINE.json north rule: N vs 4N EXECUTORS, ≥0.8
+  efficiency; no multi-machine cluster exists in this sandbox): the
+  identical job runs in fresh subprocesses under
+  ``local-cluster[1,4,4096]`` vs ``local-cluster[4,4,4096]`` — one vs
+  four REAL executor JVMs (own heap, own Python worker pool each) on
+  this host, sharing only the physical socket — on the SAME
+  materialized input; efficiency = (T_low / T_high) / 4.  The input is
+  sized (``SCALE_REPLICATE``) so kernel compute dominates fixed job
+  overhead.  Because all executors share one socket's frequency/memory
+  budget (unlike a real scale-out, which adds machines), a no-Spark
+  multiprocessing **hardware control** runs the raw kernel at the same
+  two total-core counts; ``normalized_efficiency`` = Spark speedup /
+  control speedup is the machine-independent number.  Skip with
   SPARK_GRAFT_BENCH_SCALING=0.
 
-Child mode (internal): ``bench.py --scaling-child <cores>`` measures
-only extraction throughput at that parallelism and prints one JSON
-line.
+Child mode (internal): ``bench.py --scaling-child <n_executors>``
+measures only extraction throughput at that cluster size and prints
+one JSON line.
 """
 
 from __future__ import annotations
@@ -59,6 +61,8 @@ SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPLICATE", "300")
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "4"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", str(4 * SCALE_LOW)))
+EXEC_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_LOW", "1"))
+EXEC_HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_HIGH", str(4 * EXEC_LOW)))
 N_CONVS = 500
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -74,6 +78,31 @@ def make_spark(cores: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def make_spark_cluster(n_executors: int, cores_per: int = 4):
+    """Multi-executor session: ``local-cluster`` launches one REAL
+    executor JVM per slot (own heap, own Python worker pool) on this
+    host — the closest this sandbox gets to "N executors": only the
+    physical socket is shared."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder
+        .master(f"local-cluster[{n_executors},{cores_per},4096]")
+        .appName(f"bench-exec-{n_executors}x{cores_per}")
+        .config("spark.sql.shuffle.partitions", str(4 * n_executors * cores_per))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.executor.memory", "4g")
+        .config("spark.driver.memory", "8g")
+        .config("spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.abspath(__file__)))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -160,12 +189,12 @@ def run_headline_queries(spark, sf_dir: str):
     return times
 
 
-def child_main(cores: int, input_dir: str, n_turns: int) -> None:
-    spark = make_spark(cores)
+def child_main(n_executors: int, input_dir: str, n_turns: int) -> None:
+    spark = make_spark_cluster(n_executors)
     spark.sparkContext.setLogLevel("ERROR")
     res = extraction_throughput(spark, input_dir, n_turns, timed_runs=3)
     spark.stop()
-    print(json.dumps({"cores": cores, **res}))
+    print(json.dumps({"executors": n_executors, **res}))
 
 
 def _control_worker(args):
@@ -230,25 +259,29 @@ def hardware_control(sf_dir: str, seconds: float = 6.0) -> dict:
 
 
 def run_scaling(input_dir: str, n_turns: int, sf_dir: str) -> dict:
+    """N→4N executor scaling: the SAME job in fresh subprocesses on
+    local-cluster with EXEC_LOW vs EXEC_HIGH real executor JVMs (4
+    cores each), on the same materialized input."""
     out = {}
-    for cores in (SCALE_LOW, SCALE_HIGH):
+    for n_exec in (EXEC_LOW, EXEC_HIGH):
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_SCALING"] = "0"
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child",
-             str(cores), input_dir, str(n_turns)],
+             str(n_exec), input_dir, str(n_turns)],
             capture_output=True, text=True, env=env, timeout=3600,
         )
         lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
         if not lines:
-            raise RuntimeError(f"scaling child {cores} failed: {p.stderr[-2000:]}")
-        out[f"local[{cores}]"] = json.loads(lines[-1])
-    lo = out[f"local[{SCALE_LOW}]"]
-    hi = out[f"local[{SCALE_HIGH}]"]
+            raise RuntimeError(f"scaling child {n_exec} failed: {p.stderr[-2000:]}")
+        out[f"executors[{n_exec}x4]"] = json.loads(lines[-1])
+    lo = out[f"executors[{EXEC_LOW}x4]"]
+    hi = out[f"executors[{EXEC_HIGH}x4]"]
     speedup = lo["wall_sec"] / hi["wall_sec"]
+    ratio = EXEC_HIGH / EXEC_LOW
     out["speedup"] = round(speedup, 3)
-    out["core_ratio"] = SCALE_HIGH / SCALE_LOW
-    out["efficiency"] = round(speedup / (SCALE_HIGH / SCALE_LOW), 3)
+    out["executor_ratio"] = ratio
+    out["efficiency"] = round(speedup / ratio, 3)
     control = hardware_control(sf_dir)
     out["hardware_control"] = control
     # Spark's speedup relative to the box's own best-case speedup —
