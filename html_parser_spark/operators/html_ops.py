@@ -123,14 +123,26 @@ def extract_struct_udf(
     drop_whitespace_text_nodes: bool = False,
     use_link_density: bool = True,
     link_density_threshold: float = 0.5,
+    max_doc_bytes: Optional[int] = 16 * 1024 * 1024,
 ):
     """Main-content extraction returning struct(main_text, spans,
-    n_nodes, n_removed).  The flagship operator of the pipeline."""
+    n_nodes, n_removed).  The flagship operator of the pipeline.
+
+    ``max_doc_bytes`` is the poison-pill guard for web-scale corpora: a
+    single pathological multi-hundred-MB document must not blow up
+    executor memory (output buffers are ~input-sized, and an Arrow
+    batch holds thousands of rows).  Oversized documents are truncated
+    to the limit before parsing — safe because the parser is permissive
+    (truncation ≡ EOF: open elements close, raw text runs out) — and
+    ``n_removed`` is reported as usual; pass ``None`` to disable."""
     sel = compile_selector(remove_selector)
 
     def one(h: str):
+        data = h.encode("utf-8")
+        if max_doc_bytes is not None and len(data) > max_doc_bytes:
+            data = data[:max_doc_bytes]
         r = extract_main(
-            h.encode("utf-8"),
+            data,
             remove_selector=sel,
             drop_whitespace_text_nodes=drop_whitespace_text_nodes,
             use_link_density=use_link_density,

@@ -57,6 +57,9 @@ class PipelineConfig:
     drop_whitespace_text_nodes: bool = False
     use_link_density: bool = True
     shuffle_before_extract: bool = False
+    # Poison-pill guard: truncate pathological giant documents before
+    # parsing (permissive parser => truncation == EOF).  None disables.
+    max_doc_bytes: int = 16 * 1024 * 1024
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -76,6 +79,7 @@ def extract_turns(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
     ex = extract_struct_udf(
         drop_whitespace_text_nodes=cfg.drop_whitespace_text_nodes,
         use_link_density=cfg.use_link_density,
+        max_doc_bytes=cfg.max_doc_bytes,
     )
     out = df.withColumn("_ex", ex(F.col("text")))
     return out.select(

@@ -81,3 +81,26 @@ def test_arrow_batching_is_used(spark):
     df = spark.range(n).withColumn("html", F.concat(F.lit("<div id='x'><p>"), F.col("id").cast("string"), F.lit("</p></div>")))
     got = df.select(F.sum(html_ops.node_count_udf()(F.col("html"))).alias("s")).collect()[0]["s"]
     assert got == n * 4  # document + div + p + text
+
+
+def test_max_doc_bytes_poison_pill_guard(spark):
+    """A pathological giant document is truncated before parsing
+    (permissive parser: truncation == EOF) instead of blowing memory;
+    normal rows are untouched; a cut multi-byte UTF-8 char is safe."""
+    from html_parser_spark.operators.html_ops import extract_struct_udf
+
+    giant = "<main id='main'><p>" + ("word " * 100) + "é" * 10
+    rows = [("<main id='main'><p>small</p></main>",), (giant,)]
+    df = spark.createDataFrame(rows, "html string")
+    ex = extract_struct_udf(max_doc_bytes=64)
+    out = df.select(F.col("html"), ex(F.col("html")).alias("e")).collect()
+    small = next(r for r in out if "small" in r["html"])
+    big = next(r for r in out if "small" not in r["html"])
+    assert small["e"]["main_text"] == "small"
+    # truncated at 64 bytes: only the prefix text survives, no crash
+    assert big["e"]["n_nodes"] >= 3
+    assert len(big["e"]["main_text"]) <= 64
+    # unguarded call still processes everything
+    ex_off = extract_struct_udf(max_doc_bytes=None)
+    full = df.select(ex_off(F.col("html")).alias("e")).collect()
+    assert any(len(r["e"]["main_text"]) > 400 for r in full)
