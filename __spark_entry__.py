@@ -328,15 +328,12 @@ def q_embedding_neardup(spark, sf_dir):
     out = embedding_near_dups(e, threshold=0.3)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
-# q_ann_ivf_topk is the single rows-only entry (nearest-centroid
-# assignment with struct tie-breaking is not reasonably SQL-expressible;
-# tests/ verify it against brute force).  Everything else below has a
-# DuckDB oracle.
-
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF scale path: probe 2 of 8 deterministic cells, exact top-k
     inside (partition-pruned fraction of a full scan at 10^9 vectors).
-    Verified in tests/ against brute force; rows-only here."""
+    Oracle replicates centroid assignment via rank-over-cosine with the
+    same (round-9, centroid-index) tie-break; also verified in tests/
+    against brute force."""
     from html_parser_spark.operators.similarity import build_ivf_index, ivf_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -434,6 +431,53 @@ def _simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
         )
         select id, {total} as simhash
         from wh group by id
+    """
+
+
+def _ivf_oracle_sql() -> str:
+    """IVF top-k replica: centroids = 8 lowest ids; assignment by
+    rank over (round-9 cosine desc, centroid index asc) — identical to
+    build_ivf_index's greatest(struct(...)) tie-break; probe the 2
+    centroids nearest the query; exact top-5 inside probed cells with
+    cosine rounded to 6 before ordering (with_cosine semantics)."""
+    dot = lambda a, b: (  # noqa: E731
+        f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]))")
+    norm = lambda a: f"sqrt(list_sum(list_transform({a}, x -> x*x)))"  # noqa: E731
+    cos = lambda a, b: f"({dot(a, b)} / ({norm(a)} * {norm(b)}))"  # noqa: E731
+    return f"""
+    with v as (
+      select vec_id as id, list_transform(embedding, x -> cast(x as double)) as vv
+      from embeddings where vec_id <> 0
+    ),
+    c as (
+      select id as cid, vv as cv, row_number() over (order by id) - 1 as ci
+      from v order by id limit 8
+    ),
+    assign as (
+      select id, cell from (
+        select v.id, c.ci as cell,
+               row_number() over (partition by v.id
+                 order by round({cos('v.vv', 'c.cv')}, 9) desc, c.ci asc) as rn
+        from v cross join c
+      ) where rn = 1
+    ),
+    q as (
+      select list_transform(embedding, x -> cast(x as double)) as qv
+      from embeddings where vec_id = 0
+    ),
+    probe as (
+      select ci from (
+        select c.ci, row_number() over (order by {cos('c.cv', 'q.qv')} desc, c.ci asc) as rn
+        from c, q
+      ) where rn <= 2
+    ),
+    scored as (
+      select v.id, round({cos('v.vv', 'q.qv')}, 6) as cos6
+      from v join assign using (id), q
+      where assign.cell in (select ci from probe)
+    )
+    select id as vec_id, round(cos6, 4) as cosine
+    from scored order by cos6 desc, id asc limit 5
     """
 
 
@@ -650,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(ceil(strlen(text) / 4.0) as bigint) as n_subwords
             from documents
         """,
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "lsh_candidate_pairs": f"""
             with mh as (
                 select id, seed,
