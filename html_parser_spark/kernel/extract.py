@@ -81,8 +81,16 @@ def extract_main(
     use_link_density: bool = True,
     link_density_threshold: float = 0.5,
     min_block_text: int = 0,
+    min_text_density: Optional[float] = None,
 ) -> ExtractResult:
-    """Extract main content text + contributing raw text spans."""
+    """Extract main content text + contributing raw text spans.
+
+    ``min_text_density`` (opt-in): additionally strip block containers
+    whose text bytes per descendant element fall below the threshold
+    AND that contain at least one link — the sparse-link-grid shape
+    (tag clouds, related-article tiles) that link density alone can
+    miss when each tile has enough text relative to its one link.
+    """
     if remove_selector is None:
         remove_selector = _DEFAULT_REMOVE_COMPILED
     dom = parse(source, drop_whitespace_text_nodes=drop_whitespace_text_nodes)
@@ -103,18 +111,40 @@ def extract_main(
         for j in range(idx, dom.subtree_end[idx] + 1):
             removed[j] = True
 
-    if use_link_density:
+    if use_link_density or min_text_density is not None:
         text_len, link_len = _link_text_lengths(dom, root, removed)
+        elem_count = None
+        if min_text_density is not None:
+            # Descendant-element counts by the same reverse preorder
+            # accumulation trick (children precede parents from the
+            # right).
+            n_all = len(dom.kind)
+            elem_count = [0] * n_all
+            lo_, hi_ = root, dom.subtree_end[root]
+            for idx in range(hi_, lo_, -1):
+                p = dom.parent[idx]
+                if p != 0xFFFFFFFF and p >= lo_:
+                    elem_count[p] += elem_count[idx] + (1 if dom.kind[idx] == ELEMENT else 0)
         lo, hi = root, dom.subtree_end[root]
         idx = lo + 1 if root else 1
         while idx <= hi:
+            strip = False
             if (
                 not removed[idx]
                 and dom.kind[idx] == ELEMENT
                 and dom.name_lower[idx] in _BLOCK_TAGS
                 and text_len[idx] > min_block_text
-                and link_len[idx] / text_len[idx] > link_density_threshold
             ):
+                if use_link_density and link_len[idx] / text_len[idx] > link_density_threshold:
+                    strip = True
+                elif (
+                    min_text_density is not None
+                    and link_len[idx] > 0
+                    and elem_count[idx] > 0
+                    and text_len[idx] / elem_count[idx] < min_text_density
+                ):
+                    strip = True
+            if strip:
                 n_removed += 1
                 for j in range(idx, dom.subtree_end[idx] + 1):
                     removed[j] = True

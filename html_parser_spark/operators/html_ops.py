@@ -123,6 +123,7 @@ def extract_struct_udf(
     drop_whitespace_text_nodes: bool = False,
     use_link_density: bool = True,
     link_density_threshold: float = 0.5,
+    min_text_density: Optional[float] = None,
     max_doc_bytes: Optional[int] = 16 * 1024 * 1024,
 ):
     """Main-content extraction returning struct(main_text, spans,
@@ -147,6 +148,7 @@ def extract_struct_udf(
             drop_whitespace_text_nodes=drop_whitespace_text_nodes,
             use_link_density=use_link_density,
             link_density_threshold=link_density_threshold,
+            min_text_density=min_text_density,
         )
         return {
             "main_text": r.main_text,

@@ -57,6 +57,8 @@ class PipelineConfig:
     drop_whitespace_text_nodes: bool = False
     use_link_density: bool = True
     shuffle_before_extract: bool = False
+    # Opt-in sparse-link-grid strip (text bytes per descendant element).
+    min_text_density: Optional[float] = None
     # Poison-pill guard: truncate pathological giant documents before
     # parsing (permissive parser => truncation == EOF).  None disables.
     max_doc_bytes: int = 16 * 1024 * 1024
@@ -79,6 +81,7 @@ def extract_turns(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
     ex = extract_struct_udf(
         drop_whitespace_text_nodes=cfg.drop_whitespace_text_nodes,
         use_link_density=cfg.use_link_density,
+        min_text_density=cfg.min_text_density,
         max_doc_bytes=cfg.max_doc_bytes,
     )
     out = df.withColumn("_ex", ex(F.col("text")))

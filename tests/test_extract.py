@@ -77,3 +77,31 @@ def test_fastest_profile_equivalent_for_page_template():
 def test_entities_decoded_in_main_text():
     page = "<body><main><p>a &amp; b &lt;c&gt;</p></main></body>"
     assert extract_main(page).main_text == "a & b <c>"
+
+
+def test_text_density_heuristic_strips_sparse_link_grids():
+    """Opt-in text-density pass: a grid of short-text link tiles (each
+    tile under the link-density bar because of its caption text) is
+    stripped when text-per-element is low; real paragraphs survive."""
+    from html_parser_spark.kernel.extract import extract_main
+
+    tiles = "".join(
+        f"<div><a href='/t{i}'>t{i}</a><span>cap</span></div>" for i in range(8)
+    )
+    html = (
+        "<body><p>This is the actual long-form article body text that "
+        "carries the page's information content in a single block.</p>"
+        f"<div id='grid'>{tiles}</div></body>"
+    ).encode()
+
+    base = extract_main(html, use_link_density=False)
+    assert "cap" in base.main_text  # without the heuristic, tiles leak
+
+    dens = extract_main(html, use_link_density=False, min_text_density=4.0)
+    assert "actual long-form article" in dens.main_text
+    assert "cap" not in dens.main_text
+    assert dens.n_removed >= 1
+
+    # the pass is opt-in: defaults unchanged (oracle stability)
+    assert extract_main(html).main_text == extract_main(
+        html, min_text_density=None).main_text
