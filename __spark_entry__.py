@@ -321,6 +321,38 @@ def q_token_estimate(spark, sf_dir):
         subword_estimate("text").alias("n_subwords"),
     )
 
+def q_quality_score(spark, sf_dir):
+    """Floor-quantized to 4 decimals: engines disagree on decimal
+    half-way rounding (0.49375 → .4937 vs .4938), floor on the same
+    double is deterministic."""
+    from html_parser_spark.operators.textstats import quality_score
+
+    d = _docs(spark, sf_dir)
+    q = quality_score("text", round_decimals=None)
+    return d.select("doc_id", (F.floor(q * 10000) / 10000).alias("q"))
+
+def q_exact_dedup_rows(spark, sf_dir):
+    """Row-level exact dedup: survivor (lowest id) per text hash with
+    its duplicate count."""
+    from html_parser_spark.operators.dedup import exact_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return exact_dedup(d).select("doc_id", "dup_count")
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup verification: doc pairs within hamming
+    distance 12 of each other's 60-bit fingerprints."""
+    from html_parser_spark.operators.dedup import hamming64
+
+    sigs = simhash64(_docs(spark, sf_dir).where(F.col("doc_id") < 100), bits=SIMHASH_BITS)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", hamming64(F.col("a.simhash"), F.col("b.simhash")))
+        .where(F.col("hamming") <= 12)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )
+
 def q_embedding_neardup(spark, sf_dir):
     from html_parser_spark.operators.dedup import embedding_near_dups
 
@@ -397,6 +429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_parse_stats": q_html_parse_stats,
         "html_explain_miss": q_html_explain_miss,
         "token_estimate": q_token_estimate,
+        "quality_score": q_quality_score,
+        "exact_dedup_rows": q_exact_dedup_rows,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -414,7 +449,7 @@ _CONV_SQL = "concat('conv', lpad(cast(doc_id % {n} as varchar), 7, '0'))".format
 _TURN_SQL = "cast(doc_id // {n} as int)".format(n=N_CONVS)
 
 
-def _simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
+def _simhash_oracle_sql(bits: int = SIMHASH_BITS, max_id: int = 200) -> str:
     terms = []
     for b in range(bits):
         terms.append(
@@ -427,11 +462,11 @@ def _simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
             select doc_id as id,
                    cast(cast(concat('0x', substr(md5(w), 1, 15)) as ubigint) as bigint) as h
             from (select doc_id, unnest(string_split(text, ' ')) as w
-                  from documents where doc_id < 200)
+                  from documents where doc_id < {max_id})
         )
         select id, {total} as simhash
         from wh group by id
-    """
+    """  # noqa: E501
 
 
 def _ivf_oracle_sql() -> str:
@@ -693,6 +728,39 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) as n_tokens,
                    cast(ceil(strlen(text) / 4.0) as bigint) as n_subwords
             from documents
+        """,
+        "quality_score": f"""
+            with f as (
+                select doc_id,
+                       len(string_split(text, ' ')) as n_tokens,
+                       strlen(text) as n_chars,
+                       len(list_filter(string_split(text, ' '),
+                           w -> list_contains([{stop_list}], w))) as n_stop,
+                       strlen(text) - strlen(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) as n_punct
+                from documents
+            )
+            select doc_id,
+                   floor((0.5 * least(n_tokens / 64.0, 1.0)
+                          + 0.3 * least((cast(n_stop as double) / n_tokens) * 4, 1.0)
+                          + 0.2 * (1.0 - least((cast(n_punct as double) / n_chars) * 5, 1.0)))
+                         * 10000) / 10000 as q
+            from f
+        """,
+        "exact_dedup_rows": """
+            select doc_id, dup_count from (
+                select doc_id,
+                       count(*) over (partition by md5(text)) as dup_count,
+                       row_number() over (partition by md5(text)
+                                          order by doc_id asc) as rn
+                from documents
+            ) where rn = 1
+        """,
+        "simhash_hamming_pairs": f"""
+            with s as ({_simhash_oracle_sql(max_id=100)})
+            select a.id as id_a, b.id as id_b,
+                   bit_count(xor(a.simhash, b.simhash)) as hamming
+            from s a join s b on a.id < b.id
+            where bit_count(xor(a.simhash, b.simhash)) <= 12
         """,
         "ann_ivf_topk": _ivf_oracle_sql(),
         "lsh_candidate_pairs": f"""

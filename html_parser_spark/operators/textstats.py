@@ -63,8 +63,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(text_col: str = "text") -> Column:
-    """Single deterministic 0..1 quality score used as a filter gate."""
+def quality_score(text_col: str = "text", round_decimals: int | None = 4) -> Column:
+    """Single deterministic 0..1 quality score used as a filter gate.
+    ``round_decimals=None`` returns the raw double (callers needing
+    engine-portable comparison should floor-quantize instead: decimal
+    half-way rounding differs between engines)."""
     w = words_col(text_col)
     n_tokens = F.size(w)
     n_chars = F.octet_length(F.col(text_col))
@@ -72,11 +75,11 @@ def quality_score(text_col: str = "text") -> Column:
     stop_ratio = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))) / n_tokens
     len_score = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
     punct_ratio = (n_chars - F.octet_length(F.regexp_replace(F.col(text_col), _PUNCT_RE, ""))) / n_chars
-    return F.round(
+    raw = (
         F.lit(0.5) * len_score + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
-        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))),
-        4,
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
     )
+    return raw if round_decimals is None else F.round(raw, round_decimals)
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
