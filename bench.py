@@ -182,10 +182,13 @@ def run_headline_queries(spark, sf_dir: str):
     times = {}
     for name in picks:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):  # min-of-2: first run may pay page-cache misses
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        times[name] = round(min(walls), 3)
     return times
 
 

@@ -108,9 +108,20 @@ class Node:
         return inner_text(self.doc.dom, self.index, normalize_whitespace).decode(
             "utf-8", errors="replace")
 
-    def outer_html(self) -> str:
-        """HTML serialization of this subtree (node.zig:174-311)."""
-        return write_html(self.doc.dom, self.index).decode("utf-8", errors="replace")
+    def outer_html(self, materialized: bool = False) -> str:
+        """HTML serialization of this subtree (node.zig:174-311);
+        ``materialized=True`` gives the reference's post-query form
+        (decoded text, re-quoted escaped attrs)."""
+        return write_html(self.doc.dom, self.index, materialized=materialized) \
+            .decode("utf-8", errors="replace")
+
+    def outer_html_self(self, materialized: bool = False) -> str:
+        """Own tag only, children excluded — writeHtmlSelf
+        (root.zig:219-238)."""
+        from .kernel.serialize import write_html_self
+
+        return write_html_self(self.doc.dom, self.index, materialized=materialized) \
+            .decode("utf-8", errors="replace")
 
     # -- navigation (element-only, like the reference) ---------------------
     def parent_node(self) -> Optional["Node"]:

@@ -45,3 +45,35 @@ def test_raw_text_content_verbatim():
 def test_first8_lowercase_name_in_output():
     dom = parse("<DIV CLASS='x'>t</DIV>")
     assert write_html(dom, q1(dom, "div")) == b"<div CLASS='x'>t</div>"
+
+
+# root.zig:106-145 — the post-query ("materialized") serialization form
+def test_materialized_attrs_requote_and_escape():
+    dom = parse(b"<img id='i' class='x' data-q='1>2'/>")
+    from html_parser_spark.kernel.matcher import query_one
+    from html_parser_spark.kernel.selector import compile_selector
+
+    img = query_one(dom, compile_selector("img#i"))
+    assert write_html(dom, img) == b"<img id='i' class='x' data-q='1>2'>"
+    assert write_html(dom, img, materialized=True) == \
+        b'<img id="i" class="x" data-q="1>2">'
+
+
+def test_materialized_text_decodes_entity_subset():
+    dom = parse(b"<p>&amp; &lt;</p>")
+    assert write_html(dom, 1) == b"<p>&amp; &lt;</p>"
+    assert write_html(dom, 1, materialized=True) == b"<p>& <</p>"
+
+
+def test_materialized_escapes_decoded_specials_in_attrs():
+    # decoded value contains & and " -> re-escaped on output
+    dom = parse(b'<a t="a&amp;b&quot;c" flag>x</a>')
+    assert write_html(dom, 1, materialized=True) == \
+        b'<a t="a&amp;b&quot;c" flag>x</a>'
+
+
+def test_write_html_self_excludes_children():
+    dom = parse(b"<div id='a'><span>v</span></div>")
+    from html_parser_spark.kernel.serialize import write_html_self
+
+    assert write_html_self(dom, 1) == b"<div id='a'>"
