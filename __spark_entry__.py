@@ -321,6 +321,17 @@ def q_token_estimate(spark, sf_dir):
         subword_estimate("text").alias("n_subwords"),
     )
 
+def q_html_links(spark, sf_dir):
+    """URL mining over the boilerplate pages: the four chrome links per
+    page in document order (the main content contains none)."""
+    df = _docs(spark, sf_dir).withColumn("html", page_html(F.col("text")))
+    links = html_ops.links_udf()(F.col("html"))
+    return df.select("doc_id", F.posexplode(links).alias("pos", "link")).select(
+        "doc_id", "pos",
+        F.col("link.url").alias("url"),
+        F.col("link.text").alias("anchor_text"),
+    )
+
 def q_quality_score(spark, sf_dir):
     """Floor-quantized to 4 decimals: engines disagree on decimal
     half-way rounding (0.49375 → .4937 vs .4938), floor on the same
@@ -429,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_parse_stats": q_html_parse_stats,
         "html_explain_miss": q_html_explain_miss,
         "token_estimate": q_token_estimate,
+        "html_links": q_html_links,
         "quality_score": q_quality_score,
         "exact_dedup_rows": q_exact_dedup_rows,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -728,6 +740,12 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) as n_tokens,
                    cast(ceil(strlen(text) / 4.0) as bigint) as n_subwords
             from documents
+        """,
+        "html_links": """
+            select doc_id, i as pos,
+                   ['/home','/docs','/about','/ad'][i + 1] as url,
+                   ['Home','Docs','About','ad'][i + 1] as anchor_text
+            from documents, (select unnest([0, 1, 2, 3]) as i)
         """,
         "quality_score": f"""
             with f as (

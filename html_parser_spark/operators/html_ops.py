@@ -169,6 +169,43 @@ def extract_struct_udf(
     return udf
 
 
+LINKS_SCHEMA = ArrayType(StructType([
+    StructField("tag", StringType(), False),
+    StructField("url", StringType(), False),
+    StructField("text", StringType(), True),
+]))
+
+
+def links_udf(selector: str = "a[href], img[src], script[src], link[href]",
+              attrs: tuple = ("href", "src")):
+    """URL mining: every matched element's first present URL attribute,
+    with its (normalized) innerText — the standard link-graph /
+    crawl-frontier extraction of a web pipeline, expressed as
+    queryAll → getAttributeValue → innerText over the kernel."""
+    sel = _compiled(selector)
+    names = list(attrs)
+
+    def one(h: str):
+        dom = parse(h.encode("utf-8"))
+        out = []
+        for idx in query_all(dom, sel):
+            for a in names:
+                v = get_attr(dom, idx, a)
+                if v is not None:
+                    out.append({
+                        "tag": (dom.name_disp[idx] or b"").decode("utf-8", "replace"),
+                        "url": v.decode("utf-8", "replace"),
+                        "text": inner_text(dom, idx, True).decode("utf-8", "replace"),
+                    })
+                    break
+        return out
+
+    @F.pandas_udf(LINKS_SCHEMA)
+    def udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        yield from _series_map(it, one)
+    return udf
+
+
 EXPLAIN_SCHEMA = StructType([
     StructField("matched_index", IntegerType(), True),
     StructField("matched_group", IntegerType(), True),

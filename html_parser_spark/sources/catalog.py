@@ -66,3 +66,37 @@ def write_table(
             w.append()
         return
     df.write.mode(mode).partitionBy(partition_col).parquet(dst)
+
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def read_transcripts(spark: SparkSession, src: str, fmt: str = "parquet") -> DataFrame:
+    """Read the canonical transcript table from any supported format
+    with the schema ENFORCED (never inferred — schema drift in a
+    100 TB ingest should fail loudly at the scan, not silently retype
+    a column).  ``fmt``: parquet (default, also Iceberg idents via
+    :func:`read_table`) | json (newline-delimited) | csv (with header).
+    """
+    if fmt == "parquet":
+        df = read_table(spark, src)
+        # project + cast to the canonical schema (order + types)
+        names = [c.split()[0] for c in TRANSCRIPT_DDL.split(",")]
+        types = [c.split()[1] for c in TRANSCRIPT_DDL.split(",")]
+        from pyspark.sql import functions as F
+        return df.select(*[F.col(n).cast(t).alias(n) for n, t in zip(names, types)])
+    if fmt == "json":
+        return spark.read.schema(TRANSCRIPT_DDL).json(src)
+    if fmt == "csv":
+        # nullValue sentinel preserves empty strings (Spark CSV reads
+        # "" as null by default, which would corrupt the tool column)
+        return (spark.read.schema(TRANSCRIPT_DDL)
+                .option("header", "true")
+                .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+                .option("nullValue", "\\N")
+                .option("emptyValue", "")
+                .csv(src))
+    raise ValueError(f"unsupported transcript format: {fmt}")

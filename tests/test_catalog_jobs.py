@@ -72,3 +72,30 @@ def test_pyfiles_zip_is_self_contained(tmp_path):
         "html_parser_spark/streaming/stateful.py",
     ):
         assert mod in names, mod
+
+
+def test_read_transcripts_all_formats_agree(spark, sf_dir, tmp_path):
+    """parquet/json/csv readers produce identical rows with the
+    canonical enforced schema."""
+    from html_parser_spark.sources.catalog import TRANSCRIPT_DDL, read_transcripts
+    from html_parser_spark.sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir, n_convs=10).drop(
+        "doc_id", "expected_main_text").limit(200).cache()
+    t.write.mode("overwrite").parquet(str(tmp_path / "p"))
+    t.write.mode("overwrite").json(str(tmp_path / "j"))
+    (t.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+      .write.mode("overwrite").option("header", "true").csv(str(tmp_path / "c")))
+
+    p = read_transcripts(spark, str(tmp_path / "p"))
+    j = read_transcripts(spark, str(tmp_path / "j"), fmt="json")
+    c = read_transcripts(spark, str(tmp_path / "c"), fmt="csv")
+    for df in (p, j, c):
+        assert [f.simpleString() for f in df.schema.fields] == \
+               [f.simpleString() for f in p.schema.fields]
+    assert p.exceptAll(j).count() == 0 and j.exceptAll(p).count() == 0
+    assert p.exceptAll(c).count() == 0 and c.exceptAll(p).count() == 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        read_transcripts(spark, "x", fmt="avro")
