@@ -222,10 +222,14 @@ def q_set_ops_customers(spark, sf_dir):
     )
 
 def q_events_hourly(spark, sf_dir):
+    """Hour buckets as epoch seconds (integer) so the comparison is
+    session-timezone-independent — date_trunc renders in the session
+    TZ and would shift under a non-UTC driver."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour_epoch = (F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(3600)))
     return (
         e.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            hour_epoch.alias("hour_epoch"),
             F.col("event_type"),
         )
         .agg(
@@ -662,7 +666,7 @@ def oracle_sql() -> dict[str, str]:
               (select count(*) from customer where c_custkey not in (select o_custkey from orders)) as n_without_orders
         """,
         "events_hourly": """
-            select date_trunc('hour', ts) as hour, event_type,
+            select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as hour_epoch, event_type,
                    count(*) as n_events,
                    sum(cast(value as decimal(20,6))) as sum_value,
                    count(distinct user_id) as n_users
