@@ -14,7 +14,8 @@ equivalent of the reference's "compile once, query cached" API
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from functools import lru_cache
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -51,6 +52,12 @@ def _series_map(it: Iterator[pd.Series], fn) -> Iterator[pd.Series]:
 
 def _compiled(selector) -> Selector:
     return selector if isinstance(selector, Selector) else compile_selector(selector)
+
+
+@lru_cache(maxsize=1024)
+def _compile_cached(source: str) -> Selector:
+    """Worker-side cache for dynamic (per-row) selector columns."""
+    return compile_selector(source)
 
 
 def node_count_udf():
@@ -274,6 +281,64 @@ def parse_stats_udf():
             rows = [dict.fromkeys(cols) if v is None else one(v) for v in s]
             yield pd.DataFrame(rows, columns=cols)
     return udf
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the HTML kernel to ``spark.sql`` users:
+
+    - ``html_node_count(html)``
+    - ``html_query_count(html, selector)``
+    - ``html_inner_text(html, selector)``  (first match, normalized)
+    - ``html_attr(html, selector, attr)``
+
+    Selector arguments are ordinary columns, so they may vary per row;
+    compilation is lru-cached per worker (the reference's runtime
+    compile is likewise cheap and cacheable, document.zig:439-462)."""
+    @F.pandas_udf(LongType())
+    def _node_count(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(lambda v: None if v is None else len(parse(v.encode("utf-8"))))
+
+    @F.pandas_udf(LongType())
+    def _query_count(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for html, sel in it:
+            yield pd.Series([
+                None if h is None or q is None
+                else len(query_all(parse(h.encode("utf-8")), _compile_cached(q)))
+                for h, q in zip(html, sel)
+            ])
+
+    @F.pandas_udf(StringType())
+    def _inner_text(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        def one(h, q):
+            if h is None or q is None:
+                return None
+            dom = parse(h.encode("utf-8"))
+            idx = query_one(dom, _compile_cached(q))
+            if idx is None:
+                return None
+            return inner_text(dom, idx, True).decode("utf-8", errors="replace")
+        for html, sel in it:
+            yield pd.Series([one(h, q) for h, q in zip(html, sel)])
+
+    @F.pandas_udf(StringType())
+    def _attr(it: Iterator[Tuple[pd.Series, pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        def one(h, q, a):
+            if h is None or q is None or a is None:
+                return None
+            dom = parse(h.encode("utf-8"))
+            idx = query_one(dom, _compile_cached(q))
+            if idx is None:
+                return None
+            v = get_attr(dom, idx, a)
+            return None if v is None else v.decode("utf-8", errors="replace")
+        for html, sel, attr in it:
+            yield pd.Series([one(h, q, a) for h, q, a in zip(html, sel, attr)])
+
+    spark.udf.register("html_node_count", _node_count)
+    spark.udf.register("html_query_count", _query_count)
+    spark.udf.register("html_inner_text", _inner_text)
+    spark.udf.register("html_attr", _attr)
 
 
 def serialize_html_udf(selector):

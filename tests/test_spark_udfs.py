@@ -104,3 +104,29 @@ def test_max_doc_bytes_poison_pill_guard(spark):
     ex_off = extract_struct_udf(max_doc_bytes=None)
     full = df.select(ex_off(F.col("html")).alias("e")).collect()
     assert any(len(r["e"]["main_text"]) > 400 for r in full)
+
+
+def test_sql_registered_functions(spark):
+    """spark.sql users can call the kernel directly, with per-row
+    dynamic selectors (compile lru-cached per worker)."""
+    from html_parser_spark.operators.html_ops import register_sql_functions
+
+    register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [("<ul><li class='a'>x</li><li class='a'>y</li></ul>", "li.a"),
+         ("<div><a href='/d' id='k'>Docs</a></div>", "a#k"),
+         (None, "li")],
+        "html string, sel string",
+    )
+    df.createOrReplaceTempView("pages")
+    rows = spark.sql("""
+        select html_node_count(html)            as n,
+               html_query_count(html, sel)      as c,
+               html_inner_text(html, sel)       as t,
+               html_attr(html, sel, 'href')     as href
+        from pages
+    """).collect()
+    by_c = {r["c"]: r for r in rows}
+    assert by_c[2]["n"] == 6 and by_c[2]["t"] == "x" and by_c[2]["href"] is None
+    assert by_c[1]["t"] == "Docs" and by_c[1]["href"] == "/d"
+    assert any(r["n"] is None for r in rows)  # null html propagates
