@@ -136,7 +136,9 @@ def q_transcripts_extract_by_role(spark, sf_dir):
         out.groupBy("role")
         .agg(
             F.count("*").alias("n_turns"),
-            F.sum(F.octet_length(F.col("_ex.main_text"))).alias("n_chars_main"),
+            # final cast pins the result to int64 — DuckDB's HUGEINT sum
+            # decays to float64 on the pandas/Arrow path otherwise
+            F.sum(F.octet_length(F.col("_ex.main_text"))).cast("long").alias("n_chars_main"),
         )
         .orderBy("role")
     )
@@ -153,8 +155,8 @@ def q_transcripts_ordering(spark, sf_dir):
         F.count("*").alias("n_convs"),
         F.sum(
             F.when((F.col("n") == F.col("nd")) & (F.col("lo") == 0) & (F.col("hi") == F.col("n") - 1), 1).otherwise(0)
-        ).alias("n_convs_ok"),
-        F.sum("n").alias("n_turns"),
+        ).cast("long").alias("n_convs_ok"),
+        F.sum("n").cast("long").alias("n_turns"),
     )
 
 def q_tpch_pricing_summary(spark, sf_dir):
@@ -163,9 +165,13 @@ def q_tpch_pricing_summary(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            # accumulate in DECIMAL (order-independent), then cast the
+            # *final* value to string: Spark's decimal(30,6) and DuckDB's
+            # decimal(38,6) render the same digits, while their native
+            # Arrow/pandas types hash differently
+            F.sum(dec(F.col("l_quantity"))).cast("string").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("string").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("string").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         )
@@ -184,7 +190,7 @@ def q_join_region_revenue(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).cast("string").alias("revenue"),
         )
         .orderBy("r_name")
     )
@@ -234,7 +240,7 @@ def q_events_hourly(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("string").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -608,7 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_extract_by_role": f"""
             select {_ROLE_SQL} as role,
                    count(*) as n_turns,
-                   sum(strlen(text)) as n_chars_main
+                   cast(sum(strlen(text)) as bigint) as n_chars_main
             from documents
             group by 1 order by 1
         """,
@@ -622,15 +628,15 @@ def oracle_sql() -> dict[str, str]:
                 from documents group by 1
             )
             select count(*) as n_convs,
-                   sum(case when n = nd and lo = 0 and hi = n - 1 then 1 else 0 end) as n_convs_ok,
-                   sum(n) as n_turns
+                   cast(sum(case when n = nd and lo = 0 and hi = n - 1 then 1 else 0 end) as bigint) as n_convs_ok,
+                   cast(sum(n) as bigint) as n_turns
             from per_conv
         """,
         "tpch_pricing_summary": """
             select l_returnflag, l_linestatus,
-                   sum(cast(l_quantity as decimal(20,6))) as sum_qty,
-                   sum(cast(l_extendedprice as decimal(20,6))) as sum_base_price,
-                   sum(cast(l_extendedprice * (1 - l_discount) as decimal(20,6))) as sum_disc_price,
+                   cast(sum(cast(l_quantity as decimal(20,6))) as varchar) as sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(20,6))) as varchar) as sum_base_price,
+                   cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(20,6))) as varchar) as sum_disc_price,
                    count(*) as count_order,
                    round(avg(l_quantity), 4) as avg_qty
             from lineitem
@@ -640,7 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "join_region_revenue": """
             select r_name,
                    count(*) as n_orders,
-                   sum(cast(o_totalprice as decimal(20,6))) as revenue
+                   cast(sum(cast(o_totalprice as decimal(20,6))) as varchar) as revenue
             from orders
             join customer on o_custkey = c_custkey
             join nation on c_nationkey = n_nationkey
@@ -668,7 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as hour_epoch, event_type,
                    count(*) as n_events,
-                   sum(cast(value as decimal(20,6))) as sum_value,
+                   cast(sum(cast(value as decimal(20,6))) as varchar) as sum_value,
                    count(distinct user_id) as n_users
             from events group by 1, 2
         """,

@@ -24,24 +24,39 @@ TABLES = [
 
 
 def canon(rows, cols):
+    """Type-family-strict canonicalization.
+
+    The driver compares results on the pandas/Arrow path, where e.g. a
+    DuckDB HUGEINT or decimal(38,6) decays to float64 while Spark keeps
+    int64 / Decimal — such pairs hash-differ even when numerically
+    equal.  Tag each value with its type family (int / float / decimal /
+    str / …) so the local gate is red wherever the driver would be.
+    """
+    import decimal
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
         vals = []
         for i in order:
             v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = f"{v:.6f}"
+            if isinstance(v, bool):
+                vals.append(("bool", str(v)))
+            elif isinstance(v, decimal.Decimal):
+                vals.append(("decimal", str(v)))
+            elif isinstance(v, float) or type(v).__name__ in ("float64", "float32"):
+                v = float(v)
+                vals.append(("float", "nan" if math.isnan(v) else f"{v:.6f}"))
+            elif isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
+                vals.append(("int", str(int(v))))
             elif hasattr(v, "isoformat"):
-                v = v.isoformat()
-            elif isinstance(v, (list, tuple)):
-                v = str(list(v))
+                vals.append(("ts", v.isoformat()))
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                vals.append(("list", str(list(v))))
+            elif v is None:
+                vals.append(("null", ""))
             else:
-                v = str(v) if not isinstance(v, str) else v
-            vals.append(v)
+                vals.append(("str", v if isinstance(v, str) else str(v)))
         out.append(tuple(vals))
     out.sort()
     return out
@@ -90,7 +105,8 @@ def main() -> int:
         try:
             cur = con.sql(sql)
             ocols = [c for c in cur.columns]
-            orows = cur.fetchall()
+            odf = cur.df()  # pandas path — mirrors the driver's dtype decay
+            orows = [tuple(rec) for rec in odf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: duckdb error: {e}")
             failures += 1
