@@ -374,11 +374,17 @@ def q_simhash_hamming_pairs(spark, sf_dir):
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
     )
 
+EMB_LSH_BANDS = 4
+EMB_LSH_BAND_BITS = 4
+
 def q_embedding_neardup(spark, sf_dir):
+    """Multi-band multi-bit hyperplane LSH (4 bands × 4-bit keys here so
+    the random-vector fixture still yields candidates at cosine 0.3;
+    production defaults are 4×8 for threshold 0.95)."""
     from html_parser_spark.operators.dedup import embedding_near_dups
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") < 200)
-    out = embedding_near_dups(e, threshold=0.3)
+    out = embedding_near_dups(e, threshold=0.3, bands=EMB_LSH_BANDS, band_bits=EMB_LSH_BAND_BITS)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -575,6 +581,50 @@ def _shingles_sql(n: int, src: str = "text") -> str:
         f"list_transform(generate_series(1, len({w}) - {n - 1}), i -> {joined}) "
         f"else [{src}] end)"
     )
+
+
+def _embedding_neardup_oracle_sql(
+    bands: int = EMB_LSH_BANDS, band_bits: int = EMB_LSH_BAND_BITS,
+    threshold: float = 0.3, max_id: int = 200,
+) -> str:
+    """DuckDB twin of operators.dedup.embedding_near_dups: identical
+    md5-derived hyperplane signs, banded k-bit keys, exact-cosine
+    verification.  The OR-join over band keys is oracle scaffolding on
+    200 rows — the Spark side is the scalable banded equi-join."""
+    def proj(k: int) -> str:
+        sign = (
+            f"(case when cast(concat('0x', substr(md5('plane:{k}:' || (i-1)), 1, 4)) as int) % 2 = 0 "
+            f"then 1.0 else -1.0 end)"
+        )
+        return (
+            f"list_sum(list_transform(generate_series(1, len(embedding)), "
+            f"i -> cast(embedding[i] as double) * {sign}))"
+        )
+
+    keys = []
+    for b in range(bands):
+        terms = " + ".join(
+            f"(case when {proj(b * band_bits + j)} >= 0 then {1 << j} else 0 end)"
+            for j in range(band_bits)
+        )
+        keys.append(f"({terms}) as key{b}")
+    key_cols = ",\n                     ".join(keys)
+    band_match = " or ".join(f"a.key{b} = b.key{b}" for b in range(bands))
+    return f"""
+            with e as (
+              select vec_id as id,
+                     list_transform(embedding, x -> cast(x as double)) as v,
+                     {key_cols}
+              from embeddings where vec_id < {max_id}
+            ), scored as (
+              select a.id as id_a, b.id as id_b,
+                     list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x*x)))) as c
+              from e a join e b on a.id < b.id and ({band_match})
+            )
+            select id_a, id_b, round(c, 4) as cosine from scored where c >= {threshold}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -825,22 +875,5 @@ def oracle_sql() -> dict[str, str]:
                    16 + cast(concat('0x', substr(md5(payload), 3, 2)) as int) % 64 as height
             from a
         """,
-        "embedding_neardup": """
-            with e as (
-              select vec_id as id,
-                     list_transform(embedding, x -> cast(x as double)) as v,
-                     (list_sum(list_transform(generate_series(1, len(embedding)),
-                        i -> cast(embedding[i] as double) *
-                             (case when cast(concat('0x', substr(md5('plane:' || (i-1)), 1, 4)) as int) % 2 = 0
-                                   then 1.0 else -1.0 end))) >= 0) as bucket
-              from embeddings where vec_id < 200
-            ), scored as (
-              select a.id as id_a, b.id as id_b,
-                     list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
-                     / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                        * sqrt(list_sum(list_transform(b.v, x -> x*x)))) as c
-              from e a join e b on a.bucket = b.bucket and a.id < b.id
-            )
-            select id_a, id_b, round(c, 4) as cosine from scored where c >= 0.3
-        """,
+        "embedding_neardup": _embedding_neardup_oracle_sql(),
     }

@@ -152,42 +152,88 @@ def hamming64(col_a: Column, col_b: Column) -> Column:
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
+def embedding_lsh_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Long-form banded random-hyperplane signatures: (id, band, key).
+
+    Plane ``k``'s sign over dimension ``i`` is the parity of
+    ``md5("plane:<k>:<i>")`` — deterministic, RNG-free, reproduced
+    exactly by the DuckDB oracle.  Bit ``k`` of the signature is
+    ``dot(v, plane_k) >= 0``; band ``b``'s join key packs bits
+    ``[b*band_bits, (b+1)*band_bits)`` into an int, so each band's key
+    takes ``2^band_bits`` values and per-bucket cardinality is
+    ``~n / 2^band_bits`` — the equi-join stays linear at 10^9 vectors.
+    All signature math is codegen'd array expressions (no Python).
+    """
+    v = F.col(vec_col).cast("array<double>")
+
+    def plane_sign(k: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda i: F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.lit("plane"), F.lit(str(k)), i)), 1, 4), 16, 10
+                ).cast("int") % 2 == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    def bit(k: int) -> Column:
+        proj = F.aggregate(F.zip_with(v, plane_sign(k), lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    band_structs = []
+    for b in range(bands):
+        key = None
+        for j in range(band_bits):
+            term = bit(b * band_bits + j) * F.lit(1 << j)
+            key = term if key is None else key + term
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return (
+        emb.select(F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    buckets: int = 16,
+    bands: int = 4,
+    band_bits: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup candidates via random-hyperplane LSH.
+    """Embedding-cosine near-dups via multi-band multi-bit hyperplane LSH.
 
-    Deterministic hyperplanes derived from md5 of the dimension index —
-    no RNG, reproducible.  Pairs sharing a sign-bucket are verified with
-    exact cosine; only the equi-join on bucket scales to 10^9 vectors.
+    Candidates = distinct pairs sharing *any* band's ``band_bits``-bit
+    signature (equi-join on ``(band, key)``, never a cross join); each
+    candidate is then verified with exact cosine.  Recall for pairs at
+    cosine ``c`` is ``1-(1-p^band_bits)^bands`` with
+    ``p = 1 - arccos(c)/pi``; tune ``bands`` up / ``band_bits`` down for
+    recall, the reverse for precision.  Vectors are re-joined only for
+    the (small) candidate set, so the wide embedding column is never
+    duplicated through the explode.
     """
-    dim_sign = F.transform(
-        F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-        lambda i: F.when(
-            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("plane"), i)), 1, 4), 16, 10).cast("int") % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
+    sigs = embedding_lsh_signatures(emb, id_col, vec_col, bands, band_bits)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    signed = F.zip_with(F.col(vec_col).cast("array<double>"), dim_sign, lambda x, s: x * s)
-    bucket = F.when(
-        F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) >= 0, F.lit(1)
-    ).otherwise(F.lit(0))
-    e = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        bucket.alias("bucket"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).alias("shard"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cosine", dot / (norm(F.col("a.v")) * norm(F.col("b.v"))))
+        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
         .where(F.col("cosine") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )

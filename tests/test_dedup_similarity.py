@@ -84,6 +84,40 @@ def test_cosine_topk_and_ivf(spark, sf_dir):
     assert len(got) == 5
 
 
+def test_embedding_neardup_banded_lsh(spark):
+    from html_parser_spark.operators.dedup import (
+        embedding_lsh_signatures, embedding_near_dups,
+    )
+
+    # planted near-identical pair (0, 1) among deterministic pseudo-random vectors
+    import hashlib
+
+    def vec(seed, dim=16):
+        return [
+            (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:4], 16) / 32768.0) - 1.0
+            for i in range(dim)
+        ]
+
+    base = vec("a")
+    rows = [(0, base), (1, [x * 1.01 + 0.001 for x in base])] + [
+        (i, vec(f"r{i}")) for i in range(2, 40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    sigs = embedding_lsh_signatures(emb, bands=4, band_bits=8)
+    assert sigs.count() == 40 * 4                       # one row per (id, band)
+    assert sigs.select("key").distinct().count() > 4    # multi-bit keys, not a sign bit
+    # the near-identical pair shares every band key
+    kv = {(r["id"], r["band"]): r["key"] for r in sigs.collect()}
+    assert all(kv[(0, b)] == kv[(1, b)] for b in range(4))
+
+    out = embedding_near_dups(emb, threshold=0.95, bands=4, band_bits=8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs
+    for r in out:
+        assert r["cosine"] >= 0.95
+
+
 def test_lang_id_heuristic(spark, corpus):
     out = {r["doc_id"]: r["lang_pred"] for r in lang_id(corpus).collect()}
     assert out[0] == "en"
