@@ -374,6 +374,26 @@ def q_simhash_hamming_pairs(spark, sf_dir):
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
     )
 
+def q_simhash_banded_pairs(spark, sf_dir):
+    """Scale path for SimHash near-dup: banded (band, chunk) equi-join,
+    exact for hamming <= bands-1 by pigeonhole.  The fixture has no
+    natural near-dups, so union deterministic bit-perturbed twins
+    (hamming 1 and 2) — the oracle builds the identical twins and runs
+    the all-pairs check the banded join must reproduce exactly."""
+    from html_parser_spark.operators.dedup import simhash_band_pairs
+
+    sigs = simhash64(_docs(spark, sf_dir).where(F.col("doc_id") < 150), bits=SIMHASH_BITS)
+    m1 = F.expr("shiftleft(cast(1 as bigint), cast(id % 60 as int))")
+    m2 = F.expr("shiftleft(cast(1 as bigint), cast((id + 17) % 60 as int))")
+    t1 = sigs.select((F.col("id") + 1000).alias("id"), F.col("simhash").bitwiseXOR(m1).alias("simhash"))
+    t2 = sigs.select(
+        (F.col("id") + 2000).alias("id"),
+        F.col("simhash").bitwiseXOR(m1).bitwiseXOR(m2).alias("simhash"),
+    )
+    allsigs = sigs.unionByName(t1).unionByName(t2)
+    return simhash_band_pairs(allsigs, bands=4, bits=SIMHASH_BITS, max_hamming=3)
+
+
 EMB_LSH_BANDS = 4
 EMB_LSH_BAND_BITS = 4
 
@@ -460,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "exact_dedup_rows": q_exact_dedup_rows,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "simhash_banded_pairs": q_simhash_banded_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -839,6 +860,25 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash)) as hamming
             from s a join s b on a.id < b.id
             where bit_count(xor(a.simhash, b.simhash)) <= 12
+        """,
+        "simhash_banded_pairs": f"""
+            with s as ({_simhash_oracle_sql(max_id=150)}),
+            u as (
+                select id, simhash from s
+                union all
+                select id + 1000 as id,
+                       xor(simhash, (cast(1 as bigint) << (id % 60))) as simhash
+                from s
+                union all
+                select id + 2000 as id,
+                       xor(xor(simhash, (cast(1 as bigint) << (id % 60))),
+                           (cast(1 as bigint) << ((id + 17) % 60))) as simhash
+                from s
+            )
+            select a.id as id_a, b.id as id_b,
+                   bit_count(xor(a.simhash, b.simhash)) as hamming
+            from u a join u b on a.id < b.id
+            where bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "ann_ivf_topk": _ivf_oracle_sql(),
         "lsh_candidate_pairs": f"""

@@ -152,6 +152,56 @@ def hamming64(col_a: Column, col_b: Column) -> Column:
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
+def simhash_band_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    bits: int = 60,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Banded SimHash hamming join — the scale form of near-dup search.
+
+    Split each fingerprint into ``bands`` contiguous chunks; pairs
+    agreeing on *any* chunk become candidates via an equi-join on
+    ``(band, chunk)``, then exact hamming ≤ ``max_hamming`` verifies.
+    By pigeonhole this is EXACT (100% recall) whenever
+    ``max_hamming < bands``: a pair differing in ≤ bands-1 bits must
+    leave at least one band untouched.  Never an all-pairs join —
+    per-bucket cardinality is ~n / 2^(bits/bands) on random bits
+    (Manku et al., WWW'07 simhash dedup design).
+    """
+    if max_hamming >= bands:
+        raise ValueError("exactness needs max_hamming < bands (pigeonhole)")
+    chunk = bits // bands
+    structs = []
+    for b in range(bands):
+        width = chunk if b < bands - 1 else bits - chunk * (bands - 1)
+        mask = (1 << width) - 1
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(fp_col), b * chunk).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+        )
+    e = (
+        sigs.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp"),
+                    F.explode(F.array(*structs)).alias("bk"))
+        .select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("a.fp").alias("fp_a"),
+                F.col("b.id").alias("id_b"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_lsh_signatures(
     emb: DataFrame,
     id_col: str = "vec_id",

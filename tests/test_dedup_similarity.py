@@ -84,6 +84,39 @@ def test_cosine_topk_and_ivf(spark, sf_dir):
     assert len(got) == 5
 
 
+def test_simhash_band_pairs_exact_vs_brute(spark):
+    from html_parser_spark.operators.dedup import simhash_band_pairs
+
+    # synthetic 60-bit fingerprints with planted hamming 0..4 neighbors
+    base = 0x0F0F0F0F0F0F0F
+    rows = [
+        (0, base),
+        (1, base),                       # h=0
+        (2, base ^ (1 << 5)),            # h=1
+        (3, base ^ (1 << 5) ^ (1 << 40)),  # h=2 from 0
+        (4, base ^ 0b111),               # h=3
+        (5, base ^ (0b11111 << 20)),     # h=5 — beyond threshold
+        (6, 0x2AAAAAAAAAAAAA),           # far away
+    ]
+    fp = spark.createDataFrame(rows, ["id", "simhash"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs(fp, bands=4, bits=60, max_hamming=3).collect()
+    }
+    # brute-force expectation
+    want = {}
+    for i, (ia, fa) in enumerate(rows):
+        for ib, fb in rows[i + 1:]:
+            h = bin(fa ^ fb).count("1")
+            if h <= 3:
+                want[(ia, ib)] = h
+    assert got == want          # pigeonhole: banded == all-pairs for h <= bands-1
+    assert (0, 1) in got and got[(0, 1)] == 0
+    assert (0, 5) not in got
+    with pytest.raises(ValueError):
+        simhash_band_pairs(fp, bands=4, max_hamming=4)
+
+
 def test_embedding_neardup_banded_lsh(spark):
     from html_parser_spark.operators.dedup import (
         embedding_lsh_signatures, embedding_near_dups,
