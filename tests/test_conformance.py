@@ -1,0 +1,58 @@
+"""html5lib tree-construction conformance (weakened tag-sequence oracle).
+
+Mirrors the reference's external parser-suite scoring
+(tools/scripts.zig:1791-2100, README.md:33-39 — 524/600 html5lib,
+440/500 WPT with the same weakening).  The vendored subset lives in
+tests/fixtures/html5lib_subset/ (reconstructed cases in the corpus
+format; no network in this sandbox to fetch the real corpus).
+
+The pinned floors make parser drift VISIBLE: a change that loses a
+case fails here; a change that gains cases should raise the floor.
+The known failures are the reference's own failure classes, preserved
+by design (SURVEY.md §2): atomic svg/math subtrees, no adoption-agency
+clone on misnested formatting, unmatched close tags ignored, no
+<image>→<img> token rewriting, xmp/iframe/noframes/noembed not treated
+as raw text, and no drop of stray table-section tags outside tables.
+"""
+
+import pytest
+
+from tools.conformance import FIXTURE_DIR, load_dat, load_suite, run_suite
+
+# floor per fixture file: (passed, total) as of round 2
+FLOORS = {
+    "tests_basic.dat": (39, 40),
+    "tests_misnesting.dat": (6, 15),
+    "tests_raw_foreign.dat": (11, 19),
+    "tests_tables.dat": (11, 14),
+}
+TOTAL_FLOOR = 67
+
+
+@pytest.mark.parametrize("name", sorted(FLOORS))
+def test_per_file_floor(name):
+    import os
+
+    cases = load_dat(os.path.join(FIXTURE_DIR, name))
+    passed, total, fails = run_suite(cases)
+    floor, expected_total = FLOORS[name]
+    assert total == expected_total, f"{name}: case count changed ({total})"
+    detail = "; ".join(f"{c.source} got {list(g)}" for c, g in fails[:5])
+    assert passed >= floor, f"{name}: {passed}/{total} < floor {floor} — {detail}"
+
+
+def test_total_floor_and_report():
+    cases = load_suite()
+    passed, total, _ = run_suite(cases)
+    assert total >= 80
+    assert passed >= TOTAL_FLOOR, f"total {passed}/{total} dropped below {TOTAL_FLOOR}"
+
+
+def test_loader_skips_fragment_cases(tmp_path):
+    dat = tmp_path / "frag.dat"
+    dat.write_text(
+        "#data\n<td>x\n#errors\n#document-fragment\ntable\n#document\n| <td>\n\n"
+        "#data\n<p>y\n#errors\n#document\n| <html>\n|   <head>\n|   <body>\n|     <p>\n"
+    )
+    cases = load_dat(str(dat))
+    assert len(cases) == 1 and cases[0].expected == ("p",)

@@ -1,0 +1,184 @@
+"""html5lib tree-construction conformance harness (weakened oracle).
+
+Port of the reference's external parser-suite comparison
+(tools/scripts.zig:1791-2100): each ``#data`` block of an
+html5lib-tests ``.dat`` file is parsed with our kernel and compared to
+the expected tree by **lowercased element-tag sequence**, with the
+wrapper tags ``html head body tbody tr`` ignored on both sides,
+doctype/comment lines skipped, and foreign-content lines like
+``svg circle`` contributing their local name.  Fragment cases
+(``#document-fragment``) are skipped, as in the reference.
+
+The reference fetches the real corpus from
+github.com/html5lib/html5lib-tests at bench time
+(tools/scripts.zig:1530) and scores 524/600 on it (README.md:33-39).
+This sandbox has no network, so ``tests/fixtures/html5lib_subset/``
+vendors a reconstructed representative subset in the identical ``.dat``
+format, with expectations written from the HTML5 spec's tree output.
+The pinned pass-rate floor in tests/test_conformance.py makes parser
+drift visible round-over-round, which is the point of the harness.
+
+Usage::
+
+    python tools/conformance.py            # print per-file + total rates
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, NamedTuple, Optional, Tuple
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from html_parser_spark.kernel.htmlparse import ELEMENT, parse  # noqa: E402
+
+# tools/scripts.zig:1803-1809 — tags the weakened oracle ignores on
+# both the expected and the actual side.
+WRAPPER_TAGS = {"html", "head", "body", "tbody", "tr"}
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "html5lib_subset",
+)
+
+
+class Case(NamedTuple):
+    html: str
+    expected: Tuple[str, ...]
+    source: str          # "<file>:<block index>" for failure reports
+
+
+def _parse_tree_tag(payload: str) -> Optional[str]:
+    """tools/scripts.zig:1791-1801 — tag from a ``| <...>`` tree line.
+
+    Skips doctype (``!``), PI (``?``) and closing (``/``) payloads;
+    foreign-content payloads ``svg <name>`` / ``math <name>`` yield the
+    local name.
+    """
+    trimmed = payload.strip()
+    if not trimmed or trimmed[0] in "!?/":
+        return None
+    parts = trimmed.split()
+    first = parts[0]
+    if first in ("svg", "math"):
+        return parts[1] if len(parts) > 1 else first
+    return first
+
+
+def expected_tags(tree_lines: List[str]) -> Tuple[str, ...]:
+    """Expected tag sequence from the ``#document`` section
+    (tools/scripts.zig:1836-1857)."""
+    out = []
+    for line in tree_lines:
+        if len(line) < 3 or line[0] != "|":
+            continue
+        j = 1
+        while j < len(line) and line[j] in " \t":
+            j += 1
+        if j >= len(line) or line[j] != "<":
+            continue
+        if line[-1] != ">":
+            continue
+        tag = _parse_tree_tag(line[j + 1:-1])
+        if tag is None:
+            continue
+        tag = tag.lower()
+        if tag in WRAPPER_TAGS:
+            continue
+        out.append(tag)
+    return tuple(out)
+
+
+def actual_tags(html: str) -> Tuple[str, ...]:
+    """Our kernel's element-tag preorder, same weakening applied."""
+    dom = parse(html)
+    out = []
+    for i in range(len(dom)):
+        if dom.kind[i] != ELEMENT:
+            continue
+        name = dom.name_lower[i]
+        if name is None:
+            continue
+        tag = name.decode("utf-8", "replace")
+        if tag in WRAPPER_TAGS:
+            continue
+        out.append(tag)
+    return tuple(out)
+
+
+def load_dat(path: str) -> List[Case]:
+    """html5lib-tests .dat block format (tools/scripts.zig:1816-1859):
+    ``#data`` ... [``#errors`` ...] ``#document`` tree; fragment cases
+    skipped."""
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    cases: List[Case] = []
+    blocks = text.split("\n#data\n")
+    for bi, blk in enumerate(blocks):
+        if blk.startswith("#data\n"):
+            blk = blk[len("#data\n"):]
+        if "#document" not in blk:
+            continue
+        doc_idx = blk.find("\n#document\n")
+        if doc_idx < 0:
+            continue
+        data_part = blk[:doc_idx]
+        rest = blk[doc_idx + len("\n#document\n"):]
+        if "\n#document-fragment\n" in data_part or "\n#document-fragment\n" in rest:
+            continue
+        err_idx = data_part.find("\n#errors\n")
+        if err_idx < 0 and data_part.endswith("\n#errors"):
+            err_idx = len(data_part) - len("\n#errors")  # empty #errors section
+        html = data_part[:err_idx] if err_idx >= 0 else data_part
+        exp = expected_tags(rest.split("\n"))
+        cases.append(Case(html, exp, f"{os.path.basename(path)}:{bi}"))
+    return cases
+
+
+def load_suite(fixture_dir: str = FIXTURE_DIR) -> List[Case]:
+    cases: List[Case] = []
+    for name in sorted(os.listdir(fixture_dir)):
+        if name.endswith(".dat"):
+            cases.extend(load_dat(os.path.join(fixture_dir, name)))
+    return cases
+
+
+def run_suite(cases: List[Case]):
+    """Returns (n_passed, n_total, failures) — failure = (case, got)."""
+    passed = 0
+    failures = []
+    for c in cases:
+        got = actual_tags(c.html)
+        if got == c.expected:
+            passed += 1
+        else:
+            failures.append((c, got))
+    return passed, len(cases), failures
+
+
+def main() -> int:
+    per_file = {}
+    for name in sorted(os.listdir(FIXTURE_DIR)):
+        if not name.endswith(".dat"):
+            continue
+        cases = load_dat(os.path.join(FIXTURE_DIR, name))
+        p, t, fails = run_suite(cases)
+        per_file[name] = (p, t, fails)
+    total_p = sum(p for p, _, _ in per_file.values())
+    total_t = sum(t for _, t, _ in per_file.values())
+    for name, (p, t, fails) in per_file.items():
+        print(f"{name}: {p}/{t}")
+        for c, got in fails:
+            src = c.html.replace("\n", "\\n")[:80]
+            print(f"  FAIL {c.source}: {src!r}\n"
+                  f"       expected {list(c.expected)}\n"
+                  f"       got      {list(got)}")
+    print(f"total: {total_p}/{total_t} "
+          f"({100.0 * total_p / max(total_t, 1):.1f}%) — "
+          f"reference scores 524/600 html5lib / 440/500 WPT on the full corpora")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
