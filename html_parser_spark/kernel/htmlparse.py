@@ -128,7 +128,7 @@ class Dom:
     __slots__ = (
         "source", "kind", "start", "end", "attr_end", "parent",
         "prev_sibling", "last_child", "subtree_end",
-        "name_disp", "name_lower", "_attrs_cache",
+        "name_disp", "name_lower", "_attrs_cache", "_id_index",
     )
 
     def __init__(self, source: bytes):
@@ -146,6 +146,9 @@ class Dom:
         self.name_disp: List[Optional[bytes]] = []
         self.name_lower: List[Optional[bytes]] = []
         self._attrs_cache: dict = {}
+        # id value → first element index, built lazily on the first
+        # #id queryOne (document.zig:570-617); None until then
+        self._id_index: Optional[dict] = None
 
     def __len__(self) -> int:
         return len(self.kind)

@@ -274,7 +274,47 @@ def query_all(dom: Dom, selector: Selector, scope_root: Optional[int] = None) ->
     return list(iter_query(dom, selector, scope_root))
 
 
+def _ensure_id_index(dom: Dom) -> dict:
+    """Per-document id index: id value → FIRST element index carrying
+    it (duplicates keep the first — document.zig:570-617 semantics; the
+    query site falls back to the exact scan when the indexed hit fails
+    scope or the rest of the chain, matcher.zig:186-198).  Built lazily
+    on the first ``#id`` queryOne; exact dict keys mean the reference's
+    hash-collision disable path has no analog here."""
+    if dom._id_index is None:
+        idx_map: dict = {}
+        kinds = dom.kind
+        for i in range(1, len(kinds)):
+            if kinds[i] != ELEMENT:
+                continue
+            v = attrs_of(dom, i).get(b"id")
+            if v:
+                idx_map.setdefault(v, i)
+        dom._id_index = idx_map
+    return dom._id_index
+
+
+def _in_scope(dom: Dom, idx: int, scope_root: Optional[int]) -> bool:
+    if scope_root is None:
+        return idx > 0
+    return scope_root < idx <= dom.subtree_end[scope_root]
+
+
 def query_one(dom: Dom, selector: Selector, scope_root: Optional[int] = None) -> Optional[int]:
+    # #id fast path (document.zig:570-617 + matcher.zig:186-198): for a
+    # single-group selector whose rightmost compound names an id, jump
+    # straight to the indexed node and verify the remaining predicates
+    # — sublinear on big documents for the most common selector shape.
+    groups = selector.groups
+    if len(groups) == 1 and groups[0] and groups[0][-1].id is not None:
+        g = groups[0]
+        hit = _ensure_id_index(dom).get(g[-1].id)
+        if hit is None:
+            return None  # the index is exhaustive: no element has this id
+        if _in_scope(dom, hit, scope_root) and _match_chain(dom, g, len(g) - 1, hit, scope_root):
+            return hit
+        # duplicate ids are legal in real HTML: the first carrier failed
+        # scope/predicates, so fall through to exact scan semantics
     for idx in iter_query(dom, selector, scope_root):
         return idx
     return None

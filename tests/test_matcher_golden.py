@@ -237,3 +237,35 @@ def test_matches_at_consistency(fixture_dom):
     for idx in range(1, len(dom.kind)):
         if dom.kind[idx] == 1:
             assert matches_at(dom, sel, idx) == (idx in hits)
+
+
+def test_id_index_fast_path():
+    """#id queryOne uses the lazily-built first-id index
+    (document.zig:570-617); duplicate ids fall back to exact scan
+    when the indexed hit fails the remaining predicates."""
+    html = "".join(
+        ["<html><body>"]
+        + [f"<div id='n{i}' class='c{i % 7}'><span>t{i}</span></div>" for i in range(500)]
+        + ["</body></html>"]
+    )
+    dom = parse(html)
+    assert dom._id_index is None                      # built lazily
+    hit = query_one(dom, compile_selector("#n250"))
+    assert hit is not None and get_attr(dom, hit, "id") == b"n250"
+    assert dom._id_index is not None and len(dom._id_index) == 500
+    # index result == scan result for every id (the 2-group form
+    # bypasses the fast path, exercising pure scan semantics)
+    for probe in ("#n0", "#n499", "div#n33", "#absent", "span#n33"):
+        fast = query_one(dom, compile_selector(probe))
+        scan = query_one(dom, compile_selector(f"{probe}, never-matches"))
+        assert fast == scan, probe
+    # duplicate ids: first carrier wins for bare #d; predicate miss on
+    # the first falls back to the scan and finds the second
+    d2 = parse("<div id='d' class='a'>1</div><div id='d' class='b'>2</div>")
+    first = query_one(d2, compile_selector("#d"))
+    second = query_one(d2, compile_selector("#d.b"))
+    assert get_attr(d2, first, "class") == b"a"
+    assert second is not None and get_attr(d2, second, "class") == b"b"
+    # scoped query: indexed hit outside the scope root is rejected
+    scope = query_one(d2, compile_selector("#d.b"))
+    assert query_one(d2, compile_selector("#d"), scope) is None
