@@ -92,6 +92,11 @@ class Node:
             and other.index == self.index
         )
 
+    def __hash__(self) -> int:
+        # keep Node usable in sets/dicts (value-type semantics like the
+        # reference's Node; __eq__ alone would set __hash__ to None)
+        return hash((id(self.doc), self.index))
+
     def __repr__(self) -> str:
         return f"Node({self.tag_name or 'text'}@{self.index})"
 

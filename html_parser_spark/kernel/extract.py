@@ -124,7 +124,13 @@ def extract_main(
             for idx in range(hi_, lo_, -1):
                 p = dom.parent[idx]
                 if p != 0xFFFFFFFF and p >= lo_:
-                    elem_count[p] += elem_count[idx] + (1 if dom.kind[idx] == ELEMENT else 0)
+                    # skip selector-removed nodes, mirroring
+                    # _link_text_lengths — text_len already excludes
+                    # them, so counting them here would deflate the
+                    # density of containers whose boilerplate children
+                    # are gone and over-strip the remainder
+                    own = 1 if (dom.kind[idx] == ELEMENT and not removed[idx]) else 0
+                    elem_count[p] += elem_count[idx] + own
         lo, hi = root, dom.subtree_end[root]
         idx = lo + 1 if root else 1
         while idx <= hi:

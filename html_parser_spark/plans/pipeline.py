@@ -200,8 +200,8 @@ def run_extraction(
         .select(*CONTROL_COLUMNS)
     )
     # Control rows append (Iceberg append when dst is a table ident).
-    from ..sources.catalog import iceberg_available
-    if "/" not in control_dir and "." in control_dir and iceberg_available(spark):
+    from ..sources.catalog import _is_table_ident, iceberg_available
+    if _is_table_ident(control_dir) and iceberg_available(spark):
         done.writeTo(control_dir).append()
     else:
         done.write.mode("append").parquet(control_dir)

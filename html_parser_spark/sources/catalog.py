@@ -32,8 +32,24 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_FILE_EXTS = {
+    "parquet", "orc", "csv", "json", "jsonl", "avro", "txt", "db",
+    "tsv", "gz", "zst", "snappy",
+}
+
+
 def _is_table_ident(src: str) -> bool:
-    return "/" not in src and "." in src
+    """Catalog identifier (``catalog.db.table`` / ``db.table``), not a
+    path: no slashes, ≥2 identifier-shaped dot-separated parts, and the
+    last part isn't a known file extension (so relative file names like
+    ``out.parquet`` or ``ctl.db`` never route to a catalog)."""
+    if "/" in src or "\\" in src:
+        return False
+    parts = src.split(".")
+    if len(parts) < 2 or parts[-1].lower() in _FILE_EXTS:
+        return False
+    return all(p and (p[0].isalpha() or p[0] == "_")
+               and all(c.isalnum() or c == "_" for c in p) for p in parts)
 
 
 def read_table(spark: SparkSession, src: str) -> DataFrame:

@@ -54,11 +54,14 @@ def main(argv=None) -> int:
     from pyspark.sql import SparkSession
 
     from html_parser_spark.plans.pipeline import PipelineConfig, run_extraction
+    from html_parser_spark.sources.catalog import read_transcripts
 
     spark = SparkSession.builder.appName(f"extract-{args.run_id}").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    transcripts = spark.read.parquet(args.input)
+    # schema-enforced read; resolves Iceberg table identifiers too,
+    # matching the --input help text and the pipeline's output handling
+    transcripts = read_transcripts(spark, args.input)
     cfg = PipelineConfig(
         n_buckets=args.buckets,
         n_salts=args.salts,
