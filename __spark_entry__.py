@@ -430,6 +430,71 @@ def q_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return lang_id(d).select("doc_id", "lang_pred")
 
+def q_streaming_hourly(spark, sf_dir):
+    """Structured Streaming under the driver gate: events parquet →
+    readStream (2 files/trigger → multiple micro-batches) → tumbling
+    1-hour windows (complete mode, memory sink, availableNow), hour
+    buckets as epoch ints so the comparison is TZ-independent (same
+    pattern as events_hourly)."""
+    import tempfile
+    import uuid
+
+    from html_parser_spark.streaming.stream import read_events_stream, run_available_now
+
+    d = tempfile.mkdtemp(prefix="stream_hourly_")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = read_events_stream(spark, f"{d}/in", max_files_per_trigger=2)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value"),
+        )
+    )
+    name = "q_stream_hourly_" + uuid.uuid4().hex[:8]
+    run_available_now(agg, name, f"{d}/ckpt", output_mode="complete")
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("win.start")).alias("win_epoch"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("string").alias("sum_value"),
+    )
+
+
+def q_streaming_conv_rollup(spark, sf_dir):
+    """Custom stateful streaming operator under the driver gate:
+    transcript parquet → readStream (1 file/trigger → state genuinely
+    crosses micro-batches) → stateless kernel extraction →
+    applyInPandasWithState per-conversation rollup → fault-tolerant
+    foreachBatch parquet sink.  State fields are monotone, so the final
+    snapshot per conversation == column-wise max over emitted rows."""
+    import tempfile
+
+    from html_parser_spark.streaming.stateful import (
+        conversation_rollup_stream, run_rollup_to_parquet,
+    )
+    from html_parser_spark.streaming.stream import extract_stream, read_transcript_stream
+
+    d = tempfile.mkdtemp(prefix="stream_rollup_")
+    t = transcripts_from_documents(spark, sf_dir, n_convs=N_CONVS).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    t.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = read_transcript_stream(spark, f"{d}/in", max_files_per_trigger=1)
+    ex = extract_stream(stream).select(
+        "conv_id", "turn_idx", F.col("main_text").alias("text")
+    )
+    rolled = conversation_rollup_stream(ex)
+    run_rollup_to_parquet(rolled, f"{d}/out", f"{d}/ckpt")
+    snaps = spark.read.parquet(f"{d}/out")
+    return snaps.groupBy("conv_id").agg(
+        F.max("n_turns").cast("long").alias("n_turns"),
+        F.max("total_chars").cast("long").alias("total_chars"),
+        F.max("max_turn_idx").cast("int").alias("max_turn_idx"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from html_parser_spark.operators.multimodal import extract_features, synth_assets
 
@@ -486,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
+        "streaming_hourly": q_streaming_hourly,
+        "streaming_conv_rollup": q_streaming_conv_rollup,
     }
 
 
@@ -916,4 +983,18 @@ def oracle_sql() -> dict[str, str]:
             from a
         """,
         "embedding_neardup": _embedding_neardup_oracle_sql(),
+        "streaming_hourly": """
+            select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,
+                   event_type,
+                   count(*) as n_events,
+                   cast(sum(cast(value as decimal(20,6))) as varchar) as sum_value
+            from events group by 1, 2
+        """,
+        "streaming_conv_rollup": f"""
+            select {_CONV_SQL} as conv_id,
+                   cast(count(*) as bigint) as n_turns,
+                   cast(sum(length(text)) as bigint) as total_chars,
+                   cast(max({_TURN_SQL}) as int) as max_turn_idx
+            from documents group by 1
+        """,
     }

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    IntegerType, StringType, StructField, StructType, TimestampType,
+    DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType, TimestampType,
 )
 
 TRANSCRIPT_SCHEMA = StructType([
@@ -23,6 +24,24 @@ TRANSCRIPT_SCHEMA = StructType([
     StructField("tool", StringType(), True),
     StructField("ts", TimestampType(), True),
 ])
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType(), True),
+    StructField("ts", TimestampType(), True),
+    StructField("user_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+    StructField("props", StringType(), True),
+])
+
+
+def read_events_stream(spark: SparkSession, src_dir: str,
+                       max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
 
 
 def read_transcript_stream(spark: SparkSession, src_dir: str,
