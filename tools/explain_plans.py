@@ -77,6 +77,26 @@ CHECKS = {
         "takeordered": lambda p: "TakeOrderedAndProject" in p,
         "pushed_filter": lambda p: re.search(r"PushedFilters:[^\n]*vec_id", p),
     },
+    # scale-path near-dup joins: banded equi-joins, never a cross join
+    "embedding_neardup": {
+        "equi_join": lambda p: "Join" in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        "pushed_filter": lambda p: re.search(r"PushedFilters:[^\n]*vec_id", p),
+    },
+    "simhash_banded_pairs": {
+        "equi_join": lambda p: "Join" in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        "partial_agg": lambda p: "HashAggregate" in p,
+    },
+    "ann_ivf_topk": {
+        "takeordered": lambda p: "TakeOrderedAndProject" in p,
+        # cell-assignment is one Arrow-batched argmax, not a
+        # num_cells-deep greatest() expression nest
+        "arrow_assign": lambda p: "ArrowEvalPython" in p,
+        "no_greatest_nest": lambda p: p.count("greatest") == 0,
+    },
 }
 
 
