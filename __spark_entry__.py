@@ -426,6 +426,26 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     sigs = minhash_signatures(d, num_hashes=8, shingle_n=3)
     return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate clusters: MinHash → banded LSH pairs → connected
+    components (min-label propagation); singletons keep their own id as
+    cluster_id.  cluster_id == doc_id marks the canonical document."""
+    from html_parser_spark.operators.dedup import dup_clusters
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    sigs = minhash_signatures(d, num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    cc = dup_clusters(pairs)
+    return (
+        d.select("doc_id")
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
+        )
+    )
+
+
 def q_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return lang_id(d).select("doc_id", "lang_pred")
@@ -549,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "dup_clusters": q_dup_clusters,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -669,6 +690,30 @@ def _shingles_sql(n: int, src: str = "text") -> str:
         f"list_transform(generate_series(1, len({w}) - {n - 1}), i -> {joined}) "
         f"else [{src}] end)"
     )
+
+
+def _lsh_pairs_cte_sql(max_id: int = 500, num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """Shared CTE body: MinHash signatures → banded keys → distinct
+    candidate pairs (twin of minhash_signatures + lsh_candidate_pairs)."""
+    seeds = ",".join(str(i) for i in range(num_hashes))
+    return f"""mh as (
+                select id, seed,
+                       min(md5(concat(seed, ':', shingle))) as minhash
+                from (
+                    select doc_id as id, unnest({_shingles_sql(3)}) as shingle
+                    from documents where doc_id < {max_id}
+                ), (select unnest([{seeds}]) as seed)
+                group by id, seed
+            ), banded as (
+                select id, cast(seed // {rows_per_band} as int) as band,
+                       md5(string_agg(minhash, '|' order by minhash)) as band_key
+                from mh group by id, band
+            ), cand_pairs as (
+                select distinct a.id as id_a, b.id as id_b
+                from banded a
+                join banded b on a.band = b.band and a.band_key = b.band_key
+                             and a.id < b.id
+            )"""
 
 
 def _embedding_neardup_oracle_sql(
@@ -949,23 +994,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_topk": _ivf_oracle_sql(),
         "lsh_candidate_pairs": f"""
-            with mh as (
-                select id, seed,
-                       min(md5(concat(seed, ':', shingle))) as minhash
-                from (
-                    select doc_id as id, unnest({_shingles_sql(3)}) as shingle
-                    from documents where doc_id < 500
-                ), (select unnest([0,1,2,3,4,5,6,7]) as seed)
-                group by id, seed
-            ), banded as (
-                select id, cast(seed // 2 as int) as band,
-                       md5(string_agg(minhash, '|' order by minhash)) as band_key
-                from mh group by id, band
-            )
-            select distinct a.id as id_a, b.id as id_b
-            from banded a
-            join banded b on a.band = b.band and a.band_key = b.band_key
-                         and a.id < b.id
+            with {_lsh_pairs_cte_sql()}
+            select id_a, id_b from cand_pairs
+        """,
+        "dup_clusters": f"""
+            with recursive {_lsh_pairs_cte_sql()},
+            edges as (
+                select id_a as s, id_b as d from cand_pairs
+                union
+                select id_b as s, id_a as d from cand_pairs
+            ),
+            reach(id, r) as (
+                select s, s from edges
+                union
+                select e.d, reach.r from reach join edges e on e.s = reach.id
+            ),
+            cc as (select id, min(r) as cluster_id from reach group by id)
+            select d.doc_id,
+                   cast(coalesce(cc.cluster_id, d.doc_id) as bigint) as cluster_id
+            from (select doc_id from documents where doc_id < 500) d
+            left join cc on cc.id = d.doc_id
         """,
         "lang_id": _lang_id_oracle_sql(),
         "multimodal_features": """

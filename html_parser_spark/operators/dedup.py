@@ -96,6 +96,59 @@ def lsh_candidate_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over candidate-pair edges → duplicate
+    clusters: returns (id, cluster_id) with ``cluster_id`` = the
+    minimum id reachable in the component (the canonical document).
+
+    Min-label propagation: each iteration joins current labels onto
+    the (symmetrized) edge list and takes the per-node min of own and
+    neighbor labels — one shuffle per iteration, converging in
+    O(diameter) ≤ O(log n) rounds for the near-clique components LSH
+    emits.  ``localCheckpoint`` after every round truncates the lineage
+    so the plan doesn't grow exponentially — required at any scale, not
+    an optimization.  Components from dedup are tiny (dup groups), so
+    no skew handling is needed on the label join.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard(
     pairs: DataFrame,
     docs: DataFrame,

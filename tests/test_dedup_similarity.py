@@ -84,6 +84,16 @@ def test_cosine_topk_and_ivf(spark, sf_dir):
     assert len(got) == 5
 
 
+def test_dup_clusters_connected_components(spark):
+    from html_parser_spark.operators.dedup import dup_clusters
+
+    # two chains and a triangle: {1-2-3-4}, {10-11}, {20-21-22 triangle}
+    edges = [(2, 1), (2, 3), (4, 3), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_simhash_band_pairs_exact_vs_brute(spark):
     from html_parser_spark.operators.dedup import simhash_band_pairs
 
