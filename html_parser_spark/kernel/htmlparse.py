@@ -129,6 +129,7 @@ class Dom:
         "source", "kind", "start", "end", "attr_end", "parent",
         "prev_sibling", "last_child", "subtree_end",
         "name_disp", "name_lower", "_attrs_cache", "_id_index",
+        "_tag_index",
     )
 
     def __init__(self, source: bytes):
@@ -149,6 +150,9 @@ class Dom:
         # id value → first element index, built lazily on the first
         # #id queryOne (document.zig:570-617); None until then
         self._id_index: Optional[dict] = None
+        # tag name → sorted element indexes, one entry built lazily per
+        # tag queried (document.zig:619-670 ensureTagIndex spans)
+        self._tag_index: dict = {}
 
     def __len__(self) -> int:
         return len(self.kind)

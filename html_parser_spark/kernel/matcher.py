@@ -294,6 +294,20 @@ def _ensure_id_index(dom: Dom) -> dict:
     return dom._id_index
 
 
+def _ensure_tag_index(dom: Dom, tag: bytes) -> list:
+    """Per-document per-tag candidate list (document.zig:619-670
+    ensureTagIndex): preorder-sorted element indexes for one tag, built
+    lazily on the first queryOne naming that tag.  The reference's
+    arena-budget disable path is N/A with Python lists."""
+    lst = dom._tag_index.get(tag)
+    if lst is None:
+        names = dom.name_lower
+        kinds = dom.kind
+        lst = [i for i in range(1, len(kinds)) if kinds[i] == ELEMENT and names[i] == tag]
+        dom._tag_index[tag] = lst
+    return lst
+
+
 def _in_scope(dom: Dom, idx: int, scope_root: Optional[int]) -> bool:
     if scope_root is None:
         return idx > 0
@@ -301,20 +315,41 @@ def _in_scope(dom: Dom, idx: int, scope_root: Optional[int]) -> bool:
 
 
 def query_one(dom: Dom, selector: Selector, scope_root: Optional[int] = None) -> Optional[int]:
-    # #id fast path (document.zig:570-617 + matcher.zig:186-198): for a
-    # single-group selector whose rightmost compound names an id, jump
-    # straight to the indexed node and verify the remaining predicates
-    # — sublinear on big documents for the most common selector shape.
+    # Accelerated paths (matcher.zig:181-220 firstMatchForGroup): a
+    # single-group selector whose rightmost compound names an #id jumps
+    # through the id index (verify + exact-scan fallback on duplicate-id
+    # predicate miss); one naming a tag walks only that tag's candidate
+    # list.  Both are sublinear on big documents for the two most common
+    # selector shapes.
     groups = selector.groups
-    if len(groups) == 1 and groups[0] and groups[0][-1].id is not None:
+    if len(groups) == 1 and groups[0]:
         g = groups[0]
-        hit = _ensure_id_index(dom).get(g[-1].id)
-        if hit is None:
-            return None  # the index is exhaustive: no element has this id
-        if _in_scope(dom, hit, scope_root) and _match_chain(dom, g, len(g) - 1, hit, scope_root):
-            return hit
-        # duplicate ids are legal in real HTML: the first carrier failed
-        # scope/predicates, so fall through to exact scan semantics
+        comp = g[-1]
+        if comp.id is not None:
+            hit = _ensure_id_index(dom).get(comp.id)
+            if hit is None:
+                return None  # the index is exhaustive: no element has this id
+            if _in_scope(dom, hit, scope_root) and _match_chain(dom, g, len(g) - 1, hit, scope_root):
+                return hit
+            # duplicate ids are legal in real HTML: the first carrier
+            # failed scope/predicates, so fall through to exact scan
+        elif comp.tag is not None:
+            cands = _ensure_tag_index(dom, comp.tag)
+            if scope_root is not None:
+                from bisect import bisect_right
+
+                lo = bisect_right(cands, scope_root)
+                hi_bound = dom.subtree_end[scope_root]
+            else:
+                lo, hi_bound = 0, len(dom.kind)
+            ci = len(g) - 1
+            for k in range(lo, len(cands)):
+                idx = cands[k]
+                if idx > hi_bound:
+                    break
+                if _match_chain(dom, g, ci, idx, scope_root):
+                    return idx
+            return None  # candidate list is exhaustive for this tag
     for idx in iter_query(dom, selector, scope_root):
         return idx
     return None

@@ -26,15 +26,19 @@ FLOORS = {
     "tests_misnesting.dat": (6, 15),
     "tests_raw_foreign.dat": (11, 19),
     "tests_tables.dat": (11, 14),
+    "wpt_html5lib_vendored.html": (8, 10),
 }
-TOTAL_FLOOR = 96
+TOTAL_FLOOR = 104
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
 def test_per_file_floor(name):
     import os
 
-    cases = load_dat(os.path.join(FIXTURE_DIR, name))
+    from tools.conformance import load_wpt
+
+    path = os.path.join(FIXTURE_DIR, name)
+    cases = load_wpt(path) if name.endswith(".html") else load_dat(path)
     passed, total, fails = run_suite(cases)
     floor, expected_total = FLOORS[name]
     assert total == expected_total, f"{name}: case count changed ({total})"
@@ -45,7 +49,7 @@ def test_per_file_floor(name):
 def test_total_floor_and_report():
     cases = load_suite()
     passed, total, _ = run_suite(cases)
-    assert total >= 110
+    assert total >= 120
     assert passed >= TOTAL_FLOOR, f"total {passed}/{total} dropped below {TOTAL_FLOOR}"
 
 

@@ -269,3 +269,29 @@ def test_id_index_fast_path():
     # scoped query: indexed hit outside the scope root is rejected
     scope = query_one(d2, compile_selector("#d.b"))
     assert query_one(d2, compile_selector("#d"), scope) is None
+
+
+def test_tag_index_fast_path():
+    """tag-anchored queryOne walks the lazily-built per-tag candidate
+    list (document.zig:619-670); results equal full-scan semantics
+    including scoped queries."""
+    html = "".join(
+        ["<html><body>"]
+        + [f"<section><p class='c{i % 3}'>t{i}</p><span>s{i}</span></section>"
+           for i in range(200)]
+        + ["</body></html>"]
+    )
+    dom = parse(html)
+    assert dom._tag_index == {}
+    hit = query_one(dom, compile_selector("span"))
+    assert hit is not None and b"span" in dom._tag_index
+    assert len(dom._tag_index[b"span"]) == 200
+    for probe in ("p.c2", "section > p", "span", "em", "p:first-child"):
+        fast = query_one(dom, compile_selector(probe))
+        scan = query_one(dom, compile_selector(f"{probe}, never-matches"))
+        assert fast == scan, probe
+    # scoped: candidates outside the scope subtree are skipped
+    scope = query_one(dom, compile_selector("section, never-matches"))
+    inner = query_one(dom, compile_selector("span"), scope)
+    scan_inner = query_one(dom, compile_selector("span, never-matches"), scope)
+    assert inner == scan_inner and inner is not None

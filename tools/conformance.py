@@ -136,11 +136,85 @@ def load_dat(path: str) -> List[Case]:
     return cases
 
 
+def _decode_percent(text: str) -> str:
+    """tools/scripts.zig:1868-1888 decodePercent — %XX pairs only."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "%" and i + 2 < n:
+            try:
+                out.append(chr(int(text[i + 1:i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _quote_end(text: str, start: int) -> Optional[int]:
+    i = start
+    while i < len(text):
+        if text[i] == '"' and (i == start or text[i - 1] != "\\"):
+            return i
+        i += 1
+    return None
+
+
+def load_wpt(path: str) -> List[Case]:
+    """WPT ``html/syntax/parsing/html5lib_*.html`` loader
+    (tools/scripts.zig:1922-1965): ``[async_test(...), "<html>",
+    "<tree>"]`` entries, percent-encoded; entries with a trailing
+    context arg (fragment cases) are skipped."""
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    if "var tests = {" not in text or "init_tests(" not in text:
+        return []
+    cases: List[Case] = []
+    pos = 0
+    bi = 0
+    while True:
+        mark = text.find("[async_test(", pos)
+        if mark < 0:
+            break
+        pos = mark + len("[async_test(")
+        in_q = text.find('"', pos)
+        if in_q < 0:
+            break
+        in_end = _quote_end(text, in_q + 1)
+        if in_end is None:
+            break
+        expected_q = text.find('"', in_end + 1)
+        if expected_q < 0:
+            break
+        expected_end = _quote_end(text, expected_q + 1)
+        if expected_end is None:
+            break
+        pos = expected_end + 1
+        tail = text[expected_end + 1:].lstrip(" \t\r\n")
+        bi += 1
+        if not tail:
+            break
+        if tail[0] == ",":
+            continue  # fragment/context case — full-document only
+        if tail[0] != "]":
+            continue
+        html = _decode_percent(text[in_q + 1:in_end])
+        tree = _decode_percent(text[expected_q + 1:expected_end])
+        exp = expected_tags(tree.split("\n"))
+        cases.append(Case(html, exp, f"{os.path.basename(path)}:{bi}"))
+    return cases
+
+
 def load_suite(fixture_dir: str = FIXTURE_DIR) -> List[Case]:
     cases: List[Case] = []
     for name in sorted(os.listdir(fixture_dir)):
         if name.endswith(".dat"):
             cases.extend(load_dat(os.path.join(fixture_dir, name)))
+        elif name.endswith(".html"):
+            cases.extend(load_wpt(os.path.join(fixture_dir, name)))
     return cases
 
 
@@ -160,9 +234,12 @@ def run_suite(cases: List[Case]):
 def main() -> int:
     per_file = {}
     for name in sorted(os.listdir(FIXTURE_DIR)):
-        if not name.endswith(".dat"):
+        if name.endswith(".dat"):
+            cases = load_dat(os.path.join(FIXTURE_DIR, name))
+        elif name.endswith(".html"):
+            cases = load_wpt(os.path.join(FIXTURE_DIR, name))
+        else:
             continue
-        cases = load_dat(os.path.join(FIXTURE_DIR, name))
         p, t, fails = run_suite(cases)
         per_file[name] = (p, t, fails)
     total_p = sum(p for p, _, _ in per_file.values())
