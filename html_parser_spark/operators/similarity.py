@@ -53,33 +53,10 @@ def cosine_topk(
     )
 
 
-def build_ivf_index(
-    df: DataFrame,
-    num_cells: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Assign each vector to its nearest deterministic coarse centroid.
-
-    Centroids = the ``num_cells`` vectors with the smallest ids (a
-    deterministic, RNG-free choice; production would k-means, but the
-    plumbing — build/probe/partition-prune — is identical).  Returns
-    df + ``cell`` column; write partitioned by ``cell`` for pruning.
-
-    Assignment is a map-only Arrow-batched argmax over a broadcast
-    centroid matrix: one numpy matmul per batch, no shuffle, and no
-    per-centroid Catalyst expression — expression size is O(1) in
-    ``num_cells``, so 4k–64k cells (a 10^9-vector corpus) cost one
-    (batch × cells) GEMM instead of a 64k-deep ``greatest`` nest.
-    Ties break as round(cosine, 9) then lowest centroid index, matching
-    the DuckDB oracle's rank expression.
-    """
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(num_cells).collect()
-    ]
-    cmat = np.asarray([c[1] for c in cents], dtype=np.float64)
-    cnorm = np.linalg.norm(cmat, axis=1)
+def _assign_udf(df: DataFrame, cmat: "np.ndarray", cnorm: "np.ndarray"):
+    """Arrow-batched argmax over a broadcast centroid matrix — one
+    (batch × cells) GEMM per batch, O(1) Catalyst expression size.
+    Ties: round(cosine, 9) then lowest centroid index."""
     bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm))
 
     @F.pandas_udf("int")
@@ -94,6 +71,94 @@ def build_ivf_index(
             scores = (vm @ cm.T) / (vn[:, None] * cn[None, :])
             yield pd.Series(np.argmax(np.round(scores, 9), axis=1).astype("int32"))
 
+    return assign
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    num_cells: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List:
+    """Deterministic spherical k-means for IVF coarse centroids.
+
+    Init = the ``num_cells`` lowest-id vectors (RNG-free); each round
+    assigns via the broadcast-GEMM argmax (map-only) and recomputes
+    centroids from per-cell elementwise sums — ``dim`` ``sum()``
+    columns, partially aggregated map-side, so the shuffle is
+    cells × dim scalars regardless of corpus size.  Empty cells keep
+    their previous centroid.  Returns [(cell_index, centroid_vector)].
+    Float-sum ordering makes low bits run-dependent, so this is an
+    index-build quality knob, not an oracle-checked operator — recall
+    correctness is independent of centroid choice (probe=all ⇒ exact,
+    tested)."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    cents = [
+        [float(x) for x in r[1]]
+        for r in df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(num_cells).collect()
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        cmat = np.asarray(cents, dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        assign = _assign_udf(df, cmat, cnorm)
+        assigned = df.select(assign(v).alias("cell"), v.alias("v"))
+        agg = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+        )
+        rows = {int(r["cell"]): r for r in agg.collect()}
+        new_cents = []
+        for ci in range(num_cells):
+            r = rows.get(ci)
+            if r is None or r["n"] == 0:
+                new_cents.append(cents[ci])
+                continue
+            mean = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64) / r["n"]
+            nrm = np.linalg.norm(mean)
+            new_cents.append((mean / nrm if nrm > 0 else mean).tolist())
+        cents = new_cents
+    return [(ci, cents[ci]) for ci in range(num_cells)]
+
+
+def build_ivf_index(
+    df: DataFrame,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "first",
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """Assign each vector to its nearest deterministic coarse centroid.
+
+    ``strategy="first"`` (default): centroids = the ``num_cells``
+    vectors with the smallest ids — deterministic, RNG-free, and
+    reproducible by the DuckDB oracle.  ``strategy="kmeans"``: refine
+    that init with :func:`kmeans_centroids` for balanced cells on
+    clustered corpora (index-build quality knob; not oracle-checked —
+    see kmeans_centroids).  Returns df + ``cell`` column; write
+    partitioned by ``cell`` for pruning.
+
+    Assignment is a map-only Arrow-batched argmax over a broadcast
+    centroid matrix: one numpy matmul per batch, no shuffle, and no
+    per-centroid Catalyst expression — expression size is O(1) in
+    ``num_cells``, so 4k–64k cells (a 10^9-vector corpus) cost one
+    (batch × cells) GEMM instead of a 64k-deep ``greatest`` nest.
+    Ties break as round(cosine, 9) then lowest centroid index, matching
+    the DuckDB oracle's rank expression.
+    """
+    if strategy == "kmeans":
+        cents = kmeans_centroids(df, num_cells, kmeans_iters, id_col, vec_col)
+    else:
+        cents = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(num_cells).collect()
+        ]
+    cmat = np.asarray([c[1] for c in cents], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    assign = _assign_udf(df, cmat, cnorm)
     return df.withColumn("cell", assign(F.col(vec_col).cast("array<double>"))), cents
 
 

@@ -161,6 +161,26 @@ def test_embedding_neardup_banded_lsh(spark):
         assert r["cosine"] >= 0.95
 
 
+def test_ivf_kmeans_strategy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") < 200)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    indexed, cents = build_ivf_index(emb, num_cells=4, strategy="kmeans", kmeans_iters=3)
+    assert len(cents) == 4 and all(len(c[1]) == 64 for c in cents)
+    # centroids are unit-normalized after refinement
+    import math
+
+    for _, cv in cents:
+        assert abs(math.sqrt(sum(x * x for x in cv)) - 1.0) < 1e-9
+    # probe=all is exact regardless of centroid quality
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(indexed, cents, q, k=5, nprobe=4).collect()]
+    assert approx == brute
+    # every cell is non-degenerate on this corpus
+    assert indexed.groupBy("cell").count().count() >= 2
+
+
 def test_lang_id_heuristic(spark, corpus):
     out = {r["doc_id"]: r["lang_pred"] for r in lang_id(corpus).collect()}
     assert out[0] == "en"
