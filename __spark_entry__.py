@@ -446,6 +446,26 @@ def q_dup_clusters(spark, sf_dir):
     )
 
 
+def q_pdf_extract(spark, sf_dir):
+    """PDF/layout leg of the extraction pipeline: deterministic
+    one-page PDFs (HEADER / doc text / FOOTER, FlateDecode-compressed
+    content stream) → pure-Python PDF kernel (object scan → zlib →
+    text operators → layout line assembly).  The oracle states the
+    expected extraction in closed form; DuckDB never parses PDF."""
+    from html_parser_spark.operators.layout import pdf_extract_udf, synth_pdf_udf
+
+    d = _docs(spark, sf_dir)
+    pdfs = synth_pdf_udf()(F.col("text"))
+    ex = pdf_extract_udf()(pdfs)
+    return d.withColumn("_ex", ex).select(
+        "doc_id",
+        F.col("_ex.text").alias("pdf_text"),
+        F.col("_ex.n_lines").alias("n_lines"),
+        F.col("_ex.n_objects").alias("n_objects"),
+        F.col("_ex.n_streams").alias("n_streams"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return lang_id(d).select("doc_id", "lang_pred")
@@ -570,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "dup_clusters": q_dup_clusters,
+        "pdf_extract": q_pdf_extract,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1031,6 +1052,14 @@ def oracle_sql() -> dict[str, str]:
             from a
         """,
         "embedding_neardup": _embedding_neardup_oracle_sql(),
+        "pdf_extract": """
+            select doc_id,
+                   'HEADER' || chr(10) || text || chr(10) || 'FOOTER' as pdf_text,
+                   cast(3 as int) as n_lines,
+                   cast(5 as int) as n_objects,
+                   cast(1 as int) as n_streams
+            from documents
+        """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,
                    event_type,

@@ -1,0 +1,91 @@
+"""PDF/layout extraction kernel + operator (kernel/pdftext.py,
+operators/layout.py): generator round-trip, escapes, Flate and raw
+streams, layout reordering, column-major reading order, TJ/Tm/T*,
+malformed-input permissiveness, and the Spark UDF path."""
+
+import zlib
+
+import pytest
+
+from html_parser_spark.kernel.pdftext import extract_pdf_text, synth_pdf
+
+
+def _one_stream_pdf(content: bytes, flate: bool = False) -> bytes:
+    if flate:
+        content = zlib.compress(content)
+        head = b"<< /Length " + str(len(content)).encode() + b" /Filter /FlateDecode >>"
+    else:
+        head = b"<< /Length " + str(len(content)).encode() + b" >>"
+    return (b"1 0 obj\n" + head + b"\nstream\n" + content
+            + b"\nendstream\nendobj\n")
+
+
+def test_synth_roundtrip_with_escapes():
+    lines = ["HEADER", "Hello (world) \\ test", "FOOTER"]
+    for compress in (True, False):
+        r = extract_pdf_text(synth_pdf(lines, compress=compress))
+        assert r.lines == lines
+        assert r.n_objects == 5 and r.n_streams == 1 and r.n_runs == 3
+
+
+def test_layout_reorders_by_y():
+    content = (b"BT /F1 12 Tf 72 50 Td (FOOT) Tj ET\n"
+               b"BT /F1 12 Tf 72 720 Td (HEAD) Tj ET")
+    r = extract_pdf_text(_one_stream_pdf(content, flate=True))
+    assert r.lines == ["HEAD", "FOOT"]  # stream order was FOOT first
+
+
+def test_two_columns_read_column_major():
+    content = (b"BT 300 700 Td (R1) Tj 0 -14 Td (R2) Tj ET"
+               b"BT 72 700 Td (L1) Tj 0 -14 Td (L2) Tj ET")
+    r = extract_pdf_text(_one_stream_pdf(content))
+    assert r.lines == ["L1", "L2", "R1", "R2"]
+
+
+def test_tj_array_tm_and_tstar():
+    content = b"BT 1 0 0 1 72 700 Tm [(ab) -120 (cd)] TJ T* (ef) Tj ET"
+    r = extract_pdf_text(_one_stream_pdf(content))
+    assert r.lines == ["abcd", "ef"]
+
+
+def test_same_line_runs_join_left_to_right():
+    content = b"BT 200 700 Td (right) Tj ET BT 72 700 Td (left) Tj ET"
+    r = extract_pdf_text(_one_stream_pdf(content))
+    assert r.lines == ["left right"]
+
+
+def test_octal_escapes():
+    content = b"BT 72 700 Td (\\101\\102\\103) Tj ET"
+    r = extract_pdf_text(_one_stream_pdf(content))
+    assert r.lines == ["ABC"]
+
+
+@pytest.mark.parametrize("garbage", [
+    b"", b"not a pdf at all",
+    b"1 0 obj\nstream\n\x00\xff\nendstream\nendobj",          # binary junk
+    b"1 0 obj\n<< /Filter /FlateDecode >>\nstream\nXX\nendstream\nendobj",  # bad zlib
+    b"1 0 obj\n<< >>\nstream\nBT (unclosed",                   # truncated
+])
+def test_never_raises_on_malformed(garbage):
+    r = extract_pdf_text(garbage)
+    assert r.text == "" or isinstance(r.text, str)
+
+
+def test_spark_pdf_udfs(spark):
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.operators.layout import pdf_extract_udf, synth_pdf_udf
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma (x)"), (2, None)], ["doc_id", "text"]
+    )
+    out = (
+        df.withColumn("_ex", pdf_extract_udf()(synth_pdf_udf()(F.col("text"))))
+        .select("doc_id", "_ex.text", "_ex.n_lines", "_ex.n_objects")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0]["text"] == "HEADER\nalpha beta\nFOOTER" and out[0]["n_lines"] == 3
+    assert out[1]["text"] == "HEADER\ngamma (x)\nFOOTER"
+    assert out[0]["n_objects"] == 5
+    assert out[2]["text"] is None
