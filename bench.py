@@ -188,6 +188,7 @@ def run_headline_queries(spark, sf_dir: str):
         "minhash_signatures", "simhash", "dedup_exact_stats",
         "text_quality", "fingerprint", "ann_cosine_topk",
         "lsh_candidate_pairs", "window_top_order",
+        "simhash_banded_pairs", "embedding_neardup", "pdf_extract",
     ]
     qs = entrymod.queries()
     times = {}

@@ -71,6 +71,22 @@ def test_never_raises_on_malformed(garbage):
     assert r.text == "" or isinstance(r.text, str)
 
 
+def test_fuzz_mutations_never_raise():
+    """Random byte mutations of a valid PDF must never raise and must
+    keep outputs well-typed (the HTML kernel's permissive contract)."""
+    import random
+
+    random.seed(7)
+    base = bytearray(synth_pdf(["HEADER", "some body text here", "FOOTER"]))
+    for _ in range(2000):
+        mutated = bytearray(base)
+        for _k in range(random.randint(1, 8)):
+            pos = random.randrange(len(mutated))
+            mutated[pos] = random.randrange(256)
+        r = extract_pdf_text(bytes(mutated))
+        assert isinstance(r.text, str) and r.n_objects >= 0
+
+
 def test_spark_pdf_udfs(spark):
     from pyspark.sql import functions as F
 
