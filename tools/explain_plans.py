@@ -90,6 +90,11 @@ CHECKS = {
         and "BroadcastNestedLoopJoin" not in p,
         "partial_agg": lambda p: "HashAggregate" in p,
     },
+    "pdf_extract": {
+        "no_exchange_before_kernel": lambda p: _no_exchange_before_arrow(p),
+        "arrow_eval": lambda p: "ArrowEvalPython" in p,
+        "pruned_scan": lambda p: re.search(r"ReadSchema:[^\n]*text", p),
+    },
     "ann_ivf_topk": {
         "takeordered": lambda p: "TakeOrderedAndProject" in p,
         # cell-assignment is one Arrow-batched argmax, not a
