@@ -466,6 +466,25 @@ def q_pdf_extract(spark, sf_dir):
     )
 
 
+NORM_SUFFIX = "  Café\tZ\x01 "  # combining acute + tab + control char
+
+def q_normalize_text(spark, sf_dir):
+    """Corpus text normalization: NFC (pandas UDF; DuckDB
+    nfc_normalize is the oracle) → lowercase → control strip → ws
+    collapse.  A non-ASCII suffix with a combining accent, a tab and a
+    control byte is appended so every stage is genuinely exercised."""
+    from html_parser_spark.operators.textstats import normalize_text
+
+    d = _docs(spark, sf_dir).withColumn("text", F.concat(F.col("text"), F.lit(NORM_SUFFIX)))
+    return normalize_text(d).select("doc_id", "norm_text")
+
+
+def q_top_ngrams(spark, sf_dir):
+    from html_parser_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
 def q_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return lang_id(d).select("doc_id", "lang_pred")
@@ -591,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "dup_clusters": q_dup_clusters,
         "pdf_extract": q_pdf_extract,
+        "normalize_text": q_normalize_text,
+        "top_ngrams": q_top_ngrams,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1059,6 +1080,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(5 as int) as n_objects,
                    cast(1 as int) as n_streams
             from documents
+        """,
+        "normalize_text": """
+            select doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           lower(nfc_normalize(
+                               text || '  Cafe' || chr(769) || chr(9) || 'Z' || chr(1) || ' ')),
+                           '[\\x00-\\x1f\\x7f]', '', 'g'),
+                       '[ \\t\\n\\r\\f]+', ' ', 'g')) as norm_text
+            from documents
+        """,
+        "top_ngrams": f"""
+            select ngram, count(*) as doc_freq
+            from (select doc_id, unnest({_shingles_sql(2)}) as ngram from documents)
+            group by ngram
+            order by doc_freq desc, ngram asc
+            limit 20
         """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,

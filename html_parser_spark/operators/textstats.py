@@ -8,6 +8,11 @@ stopword-hit heuristic, also expressed as pure columns.
 
 from __future__ import annotations
 
+import unicodedata
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -106,3 +111,62 @@ def fingerprint(text_col: str = "text") -> Column:
     text — the cheap, engine-portable canonical-content hash."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"[ \t\n\r\f]+", " ")))
     return F.md5(norm)
+
+
+def nfc_normalize_udf():
+    """Unicode NFC composition — Spark has no built-in normalizer, so
+    this is the one Python step in the normalization chain
+    (Arrow-batched; DuckDB's ``nfc_normalize`` reproduces it exactly,
+    which is what the driver oracle checks)."""
+
+    @F.pandas_udf("string")
+    def udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(
+                lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+            )
+    return udf
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Training-corpus text normalization: NFC composition →
+    lowercase → control-char strip → whitespace collapse + trim.
+    Everything but the NFC step is JVM-side codegen."""
+    c = nfc_normalize_udf()(F.col(text_col))
+    if lowercase:
+        c = F.lower(c)
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", "")
+    c = F.trim(F.regexp_replace(c, r"[ \t\n\r\f]+", " "))
+    return df.withColumn(out_col, c)
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level n-gram document frequency, top-k.
+
+    Distinct word n-grams per document (shared shingle definition with
+    the MinHash pipeline) → explode → count = document frequency →
+    top-k with (count desc, ngram asc) tie-break.  Partial aggregation
+    map-side; the final top-k is a TakeOrdered — no full sort, scales
+    to any corpus size."""
+    from .dedup import word_shingles
+
+    grams = df.select(
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -206,3 +206,31 @@ def test_multimodal_feature_plumbing(spark):
     assert again == {r["asset_id"]: r["content_hash"] for r in rows}
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image")
+
+
+def test_normalize_text(spark):
+    from html_parser_spark.operators.textstats import normalize_text
+
+    rows = [
+        (0, "Café  DOUBLE  space"),   # decomposed accent + runs of spaces
+        (1, "tab\there\x01ctrl"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert out[0] == "café double space"   # NFC-composed, lowered, collapsed
+    assert out[1] == "tabherectrl"
+    assert out[2] is None
+
+
+def test_top_ngrams(spark):
+    from html_parser_spark.operators.textstats import top_ngrams
+
+    rows = [
+        (0, "a b c"), (1, "a b d"), (2, "a b c"),   # "a b" in 3 docs, "b c" in 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["ngram"], r["doc_freq"]) for r in top_ngrams(df, n=2, k=3).collect()]
+    assert got[0] == ("a b", 3)
+    assert got[1] == ("b c", 2)
+    assert got[2] == ("b d", 1)
