@@ -485,6 +485,19 @@ def q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
+def q_curate_corpus(spark, sf_dir):
+    """Composed curation pipeline: exact-dup → token floor → quality
+    gate (floor-quantized) → language allowlist (metadata column);
+    deterministic first-reason accounting."""
+    from html_parser_spark.operators.curate import curate_corpus, curation_stats
+
+    d = _docs(spark, sf_dir)
+    cur = curate_corpus(
+        d, quality_threshold=0.6, langs=("en", "fr"), min_tokens=20, lang_col="lang"
+    )
+    return curation_stats(cur)
+
+
 def q_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return lang_id(d).select("doc_id", "lang_pred")
@@ -611,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "pdf_extract": q_pdf_extract,
         "normalize_text": q_normalize_text,
+        "curate_corpus": q_curate_corpus,
         "top_ngrams": q_top_ngrams,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
@@ -1080,6 +1094,32 @@ def oracle_sql() -> dict[str, str]:
                    cast(5 as int) as n_objects,
                    cast(1 as int) as n_streams
             from documents
+        """,
+        "curate_corpus": f"""
+            with f as (
+                select doc_id, lang,
+                       row_number() over (partition by md5(text) order by doc_id) as rn,
+                       len(string_split(text, ' ')) as n_tokens,
+                       strlen(text) as n_chars,
+                       len(list_filter(string_split(text, ' '),
+                           w -> list_contains([{stop_list}], w))) as n_stop,
+                       strlen(text) - strlen(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) as n_punct
+                from documents
+            ), scored as (
+                select doc_id, lang, rn, n_tokens,
+                       floor((0.5 * least(n_tokens / 64.0, 1.0)
+                              + 0.3 * least((cast(n_stop as double) / n_tokens) * 4, 1.0)
+                              + 0.2 * (1.0 - least((cast(n_punct as double) / n_chars) * 5, 1.0)))
+                             * 10000) / 10000 as q
+                from f
+            )
+            select case when rn > 1 then 'duplicate'
+                        when n_tokens < 20 then 'too_short'
+                        when q < 0.6 then 'low_quality'
+                        when lang not in ('en', 'fr') then 'wrong_lang'
+                        else 'kept' end as reason,
+                   count(*) as n_docs
+            from scored group by 1 order by 1
         """,
         "normalize_text": """
             select doc_id,

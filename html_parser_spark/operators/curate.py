@@ -1,0 +1,69 @@
+"""Corpus curation: the composed filter pipeline a training-data run
+executes between raw extraction and tokenization.
+
+Stage order is fixed so drop accounting is deterministic — a document
+gets the FIRST reason that disqualifies it:
+
+1. ``duplicate``   — exact-dup (md5 of text; lowest id is canonical)
+2. ``too_short``   — token floor
+3. ``low_quality`` — :func:`quality_score` gate (floor-quantized so the
+                     comparison is engine-portable)
+4. ``wrong_lang``  — language allowlist (a metadata column, or the
+                     stopword heuristic when none exists)
+
+All stages are JVM-side column expressions; the only shuffle is the
+dedup window on the 16-byte md5 key (AQE handles skew — identical
+boilerplate documents land in one partition only per hash value, and
+the window computes rank only).  At 10^12 rows this is one hash
+shuffle, same plan shape as exact_dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import lang_id, quality_score
+
+
+def curate_corpus(
+    df: DataFrame,
+    quality_threshold: float = 0.6,
+    langs: Sequence[str] = ("en",),
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: Optional[str] = None,
+) -> DataFrame:
+    """df + ``quality`` + ``lang_used`` + ``drop_reason`` (null = kept)."""
+    if lang_col is None:
+        df = lang_id(df, text_col, out_col="_lang")
+        lang = F.col("_lang")
+    else:
+        lang = F.col(lang_col)
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    ntok = F.size(F.split(F.col(text_col), " "))
+    q = F.floor(quality_score(text_col, round_decimals=None) * 10000) / 10000
+    reason = (
+        F.when(F.row_number().over(w) > 1, F.lit("duplicate"))
+        .when(ntok < min_tokens, F.lit("too_short"))
+        .when(q < quality_threshold, F.lit("low_quality"))
+        .when(~lang.isin(*[str(x) for x in langs]), F.lit("wrong_lang"))
+    )
+    out = (
+        df.withColumn("quality", q)
+        .withColumn("lang_used", lang)
+        .withColumn("drop_reason", reason)
+    )
+    return out.drop("_lang") if lang_col is None else out
+
+
+def curation_stats(curated: DataFrame) -> DataFrame:
+    """Per-reason accounting: (reason, n_docs), kept rows as 'kept'."""
+    return (
+        curated.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("reason"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("reason")
+    )

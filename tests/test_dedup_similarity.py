@@ -234,3 +234,32 @@ def test_top_ngrams(spark):
     assert got[0] == ("a b", 3)
     assert got[1] == ("b c", 2)
     assert got[2] == ("b d", 1)
+
+
+def test_curate_corpus_first_reason_accounting(spark):
+    from html_parser_spark.operators.curate import curate_corpus, curation_stats
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs to the river again and again for fun today", "en"),
+        (1, "the quick brown fox jumps over the lazy dog and runs to the river again and again for fun today", "en"),  # duplicate of 0
+        (2, "short text", "en"),                                    # too_short
+        (3, " ".join(["der schnelle braune fuchs springt heute"] * 5), "de"),  # wrong_lang (passes quality)
+        (4, "!!! ??? ;;; ::: @@@ ### $$$ %%% ^^^ &&& *** ((( ))) [[[ ]]] {{{ }}} <<< >>> ???", "en"),  # low_quality
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    cur = curate_corpus(df, quality_threshold=0.4, langs=("en",), min_tokens=5, lang_col="lang")
+    got = {r["doc_id"]: r["drop_reason"] for r in cur.collect()}
+    assert got[0] is None                      # canonical copy kept
+    assert got[1] == "duplicate"
+    assert got[2] == "too_short"
+    assert got[3] == "wrong_lang"
+    assert got[4] == "low_quality"
+    stats = {r["reason"]: r["n_docs"] for r in curation_stats(cur).collect()}
+    assert stats == {"kept": 1, "duplicate": 1, "too_short": 1,
+                     "wrong_lang": 1, "low_quality": 1}
+    # heuristic language fallback path (no metadata column)
+    cur2 = curate_corpus(df.drop("lang"), quality_threshold=0.0, langs=("en",),
+                         min_tokens=1)
+    got2 = {r["doc_id"]: r["drop_reason"] for r in cur2.collect()}
+    assert got2[3] == "wrong_lang"             # german detected by stopwords
+    assert got2[0] is None
