@@ -62,6 +62,15 @@ class PipelineConfig:
     # Poison-pill guard: truncate pathological giant documents before
     # parsing (permissive parser => truncation == EOF).  None disables.
     max_doc_bytes: int = 16 * 1024 * 1024
+    # Extract each UNIQUE page once and join results back (exact web
+    # corpora run 30-60% duplicate pages): trades two shuffles of the
+    # (hash, extracted) pairs for kernel time proportional to the dup
+    # rate.  Worth it when kernel cost/page >> shuffle cost/row, i.e.
+    # big pages or high dup rates; off by default because the map-only
+    # plan is strictly better on near-unique corpora.  Measured (this
+    # box, 40x dup rate): 2.24x faster at 200k rows, 0.82x (slower) at
+    # 20k rows where fixed join overhead dominates.
+    dedup_before_extract: bool = False
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -84,7 +93,16 @@ def extract_turns(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
         min_text_density=cfg.min_text_density,
         max_doc_bytes=cfg.max_doc_bytes,
     )
-    out = df.withColumn("_ex", ex(F.col("text")))
+    if cfg.dedup_before_extract:
+        # kernel runs once per unique page; results join back on the
+        # 16-byte hash (shuffled hash join on both sides — the join key
+        # is uniform by construction, no skew handling needed)
+        hashed = df.withColumn("_h", F.md5("text"))
+        uniq = hashed.select("_h", "text").dropDuplicates(["_h"])
+        extracted = uniq.withColumn("_ex", ex(F.col("text"))).drop("text")
+        out = hashed.drop("text").join(extracted, "_h").drop("_h")
+    else:
+        out = df.withColumn("_ex", ex(F.col("text")))
     return out.select(
         "conv_id", "turn_idx", "role", "tool", "ts", "bucket",
         F.col("_ex.main_text").alias("main_text"),

@@ -121,3 +121,22 @@ def test_skewed_conversations_are_salted(spark, sf_dir):
     a = out.select("conv_id", "turn_idx", "main_text")
     b = out_salted.select("conv_id", "turn_idx", "main_text")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dedup_before_extract_equivalence(spark, sf_dir):
+    """Extract-once-per-unique-page returns row-for-row identical
+    results to the map-only path on a corpus with duplicate pages."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.plans.pipeline import PipelineConfig, extract_turns
+    from html_parser_spark.sources.transcripts import transcripts_from_documents
+
+    # replicate=3 duplicates every page text across conversations
+    t = transcripts_from_documents(spark, sf_dir, n_convs=10, replicate=3)
+    t = t.drop("doc_id", "expected_main_text")
+    base = PipelineConfig(n_buckets=4)
+    dd = PipelineConfig(n_buckets=4, dedup_before_extract=True)
+    cols = ["conv_id", "turn_idx", "main_text", "n_nodes", "n_removed"]
+    a = {tuple(r) for r in extract_turns(t, base).select(cols).collect()}
+    b = {tuple(r) for r in extract_turns(t, dd).select(cols).collect()}
+    assert a == b and len(a) == t.count()
