@@ -508,30 +508,36 @@ def q_streaming_hourly(spark, sf_dir):
     1-hour windows (complete mode, memory sink, availableNow), hour
     buckets as epoch ints so the comparison is TZ-independent (same
     pattern as events_hourly)."""
+    import shutil
     import tempfile
     import uuid
 
     from html_parser_spark.streaming.stream import read_events_stream, run_available_now
 
     d = tempfile.mkdtemp(prefix="stream_hourly_")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    e.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
-    stream = read_events_stream(spark, f"{d}/in", max_files_per_trigger=2)
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value"),
+    try:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+        stream = read_events_stream(spark, f"{d}/in", max_files_per_trigger=2)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value"),
+            )
         )
-    )
-    name = "q_stream_hourly_" + uuid.uuid4().hex[:8]
-    run_available_now(agg, name, f"{d}/ckpt", output_mode="complete")
-    return spark.table(name).select(
-        F.unix_timestamp(F.col("win.start")).alias("win_epoch"),
-        "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("sum_value").cast("string").alias("sum_value"),
-    )
+        name = "q_stream_hourly_" + uuid.uuid4().hex[:8]
+        run_available_now(agg, name, f"{d}/ckpt", output_mode="complete")
+        return spark.table(name).select(
+            F.unix_timestamp(F.col("win.start")).alias("win_epoch"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").cast("string").alias("sum_value"),
+        )
+    finally:
+        # the memory sink holds the result; the staged input/checkpoint
+        # are no longer needed once the availableNow query terminated
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def q_streaming_conv_rollup(spark, sf_dir):
@@ -541,6 +547,7 @@ def q_streaming_conv_rollup(spark, sf_dir):
     applyInPandasWithState per-conversation rollup → fault-tolerant
     foreachBatch parquet sink.  State fields are monotone, so the final
     snapshot per conversation == column-wise max over emitted rows."""
+    import shutil
     import tempfile
 
     from html_parser_spark.streaming.stateful import (
@@ -549,22 +556,32 @@ def q_streaming_conv_rollup(spark, sf_dir):
     from html_parser_spark.streaming.stream import extract_stream, read_transcript_stream
 
     d = tempfile.mkdtemp(prefix="stream_rollup_")
-    t = transcripts_from_documents(spark, sf_dir, n_convs=N_CONVS).select(
-        "conv_id", "turn_idx", "role", "text", "tool", "ts"
-    )
-    t.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
-    stream = read_transcript_stream(spark, f"{d}/in", max_files_per_trigger=1)
-    ex = extract_stream(stream).select(
-        "conv_id", "turn_idx", F.col("main_text").alias("text")
-    )
-    rolled = conversation_rollup_stream(ex)
-    run_rollup_to_parquet(rolled, f"{d}/out", f"{d}/ckpt")
-    snaps = spark.read.parquet(f"{d}/out")
-    return snaps.groupBy("conv_id").agg(
-        F.max("n_turns").cast("long").alias("n_turns"),
-        F.max("total_chars").cast("long").alias("total_chars"),
-        F.max("max_turn_idx").cast("int").alias("max_turn_idx"),
-    )
+    try:
+        t = transcripts_from_documents(spark, sf_dir, n_convs=N_CONVS).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+        t.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+        stream = read_transcript_stream(spark, f"{d}/in", max_files_per_trigger=1)
+        ex = extract_stream(stream).select(
+            "conv_id", "turn_idx", F.col("main_text").alias("text")
+        )
+        rolled = conversation_rollup_stream(ex)
+        run_rollup_to_parquet(rolled, f"{d}/out", f"{d}/ckpt")
+        final = (
+            spark.read.parquet(f"{d}/out")
+            .groupBy("conv_id")
+            .agg(
+                F.max("n_turns").cast("long").alias("n_turns"),
+                F.max("total_chars").cast("long").alias("total_chars"),
+                F.max("max_turn_idx").cast("int").alias("max_turn_idx"),
+            )
+        )
+        # materialize before deleting the staged dirs: the returned
+        # DataFrame must stay collectible after cleanup
+        rows = final.collect()
+        return spark.createDataFrame(rows, schema=final.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def q_multimodal_features(spark, sf_dir):

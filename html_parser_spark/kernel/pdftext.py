@@ -126,9 +126,17 @@ def _runs_of_stream(data: bytes) -> List[PdfRun]:
                 pending = [s]
             continue
         if tok in (b"Tj", b"TJ"):
-            text = b"".join(pending).decode("latin-1")
-            if text:
-                runs.append(PdfRun(y, x, text))
+            raw = b"".join(pending)
+            # PDF literal strings carry bytes; our generator writes
+            # UTF-8, real-world simple PDFs are mostly latin-ish —
+            # try UTF-8, fall back to latin-1 (never raises)
+            try:
+                text = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                text = raw.decode("latin-1")
+            # empty shows still mark a baseline: keep them so blank
+            # lines survive (dropping them breaks line counting)
+            runs.append(PdfRun(y, x, text))
             pending = []
             stack_nums.clear()
             continue
@@ -208,7 +216,8 @@ def extract_pdf_text(data: bytes, y_quantum: float = 2.0,
     last_key: Optional[Tuple[int, float]] = None
     for col, ny, _x, text in keyed:
         if last_key == (col, ny):
-            lines[-1] = lines[-1] + " " + text
+            if text:  # empty run on an existing line adds no stray space
+                lines[-1] = (lines[-1] + " " + text) if lines[-1] else text
         else:
             lines.append(text)
             last_key = (col, ny)
@@ -219,8 +228,9 @@ def extract_pdf_text(data: bytes, y_quantum: float = 2.0,
 # deterministic generator (test/oracle corpus)
 # ---------------------------------------------------------------------------
 
-def _pdf_escape(s: str) -> str:
-    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+def _pdf_escape(data: bytes) -> bytes:
+    return (data.replace(b"\\", rb"\\")
+            .replace(b"(", rb"\(").replace(b")", rb"\)"))
 
 
 def synth_pdf(lines: List[str], compress: bool = True,
@@ -233,7 +243,9 @@ def synth_pdf(lines: List[str], compress: bool = True,
     for i, ln in enumerate(lines):
         if i > 0:
             ops.append(b"0 %d Td" % (-leading))
-        ops.append(b"(" + _pdf_escape(ln).encode("latin-1", "replace") + b") Tj")
+        # UTF-8 bytes in the literal string: round-trips the full
+        # unicode range (the extractor decodes UTF-8-first)
+        ops.append(b"(" + _pdf_escape(ln.encode("utf-8")) + b") Tj")
     ops.append(b"ET")
     content = b"\n".join(ops)
     filt = b""

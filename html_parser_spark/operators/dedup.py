@@ -146,6 +146,14 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop never converged: some component's diameter exceeds
+        # max_iter, so labels would silently violate the documented
+        # min-reachable-id contract — fail loudly instead
+        raise RuntimeError(
+            f"dup_clusters did not converge in max_iter={max_iter} rounds; "
+            "a component's diameter exceeds the iteration budget — raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -205,6 +213,31 @@ def hamming64(col_a: Column, col_b: Column) -> Column:
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
+def _banded_candidate_pairs(
+    exploded: DataFrame,
+    band_col: str = "band",
+    key_col: str = "key",
+    carry: tuple = (),
+) -> DataFrame:
+    """Distinct candidate pairs from a long-form banded signature table:
+    self-equi-join on (band, key) with ``id_a < id_b``, then distinct.
+    ``carry`` columns come back as ``<c>_a`` / ``<c>_b`` for verify
+    stages that need per-side payloads (e.g. fingerprints).  Shared by
+    the SimHash and embedding LSH scale paths so the candidate-pair
+    semantics live in one place."""
+    a, b = exploded.alias("a"), exploded.alias("b")
+    sel = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")]
+    for c in carry:
+        sel += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
+    return (
+        a.join(b, (F.col(f"a.{band_col}") == F.col(f"b.{band_col}"))
+               & (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(*sel)
+        .distinct()
+    )
+
+
 def simhash_band_pairs(
     sigs: DataFrame,
     bands: int = 4,
@@ -242,13 +275,8 @@ def simhash_band_pairs(
                     F.explode(F.array(*structs)).alias("bk"))
         .select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
     )
-    a, b = e.alias("a"), e.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("a.fp").alias("fp_a"),
-                F.col("b.id").alias("id_b"), F.col("b.fp").alias("fp_b"))
-        .distinct()
+        _banded_candidate_pairs(e, key_col="chunk", carry=("fp",))
         .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -323,13 +351,7 @@ def embedding_near_dups(
     duplicated through the explode.
     """
     sigs = embedding_lsh_signatures(emb, id_col, vec_col, bands, band_bits)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    pairs = _banded_candidate_pairs(sigs)
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731

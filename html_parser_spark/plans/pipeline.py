@@ -96,11 +96,18 @@ def extract_turns(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
     if cfg.dedup_before_extract:
         # kernel runs once per unique page; results join back on the
         # 16-byte hash (shuffled hash join on both sides — the join key
-        # is uniform by construction, no skew handling needed)
+        # is uniform by construction, no skew handling needed).
+        # md5(NULL) is NULL, so the join must be null-safe or rows with
+        # null text would silently vanish (the map-only path keeps them
+        # with a null extraction struct).
         hashed = df.withColumn("_h", F.md5("text"))
         uniq = hashed.select("_h", "text").dropDuplicates(["_h"])
         extracted = uniq.withColumn("_ex", ex(F.col("text"))).drop("text")
-        out = hashed.drop("text").join(extracted, "_h").drop("_h")
+        out = (
+            hashed.drop("text").alias("l")
+            .join(extracted.alias("r"), F.col("l._h").eqNullSafe(F.col("r._h")))
+            .drop("_h")
+        )
     else:
         out = df.withColumn("_ex", ex(F.col("text")))
     return out.select(

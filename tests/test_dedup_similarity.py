@@ -263,3 +263,14 @@ def test_curate_corpus_first_reason_accounting(spark):
     got2 = {r["doc_id"]: r["drop_reason"] for r in cur2.collect()}
     assert got2[3] == "wrong_lang"             # german detected by stopwords
     assert got2[0] is None
+
+
+def test_dup_clusters_raises_on_nonconvergence(spark):
+    from html_parser_spark.operators.dedup import dup_clusters
+
+    chain = [(i, i + 1) for i in range(8)]  # diameter 8 path
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=2)
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iter=10).collect()}
+    assert set(got.values()) == {0}

@@ -140,3 +140,29 @@ def test_dedup_before_extract_equivalence(spark, sf_dir):
     a = {tuple(r) for r in extract_turns(t, base).select(cols).collect()}
     b = {tuple(r) for r in extract_turns(t, dd).select(cols).collect()}
     assert a == b and len(a) == t.count()
+
+
+def test_dedup_before_extract_keeps_null_text_rows(spark):
+    """Rows with null text must survive the dedup-first path with a
+    null extraction struct, exactly like the map-only path."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.plans.pipeline import PipelineConfig, extract_turns
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", "<p>hello</p>", "", ts),
+        ("c1", 1, "assistant", None, "", ts),
+        ("c2", 0, "user", "<p>hello</p>", "", ts),   # duplicate page
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, "
+                                     "text string, tool string, ts timestamp")
+    for cfg in (PipelineConfig(n_buckets=2),
+                PipelineConfig(n_buckets=2, dedup_before_extract=True)):
+        out = extract_turns(df, cfg)
+        got = {(r["conv_id"], r["turn_idx"]): r["main_text"] for r in out.collect()}
+        assert len(got) == 3, cfg
+        assert got[("c1", 1)] is None
+        assert got[("c1", 0)] == "hello" and got[("c2", 0)] == "hello"
