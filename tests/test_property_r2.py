@@ -1,0 +1,135 @@
+"""Property-based tests for the round-2 operators.
+
+Spark-free where possible (the pure kernels), Spark-backed with small
+bounded examples for the distributed ops — hypothesis drives the
+shapes, a plain-Python reference implementation is the oracle.
+"""
+
+import zlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from html_parser_spark.kernel.pdftext import extract_pdf_text, synth_pdf
+
+# ---------------------------------------------------------------------------
+# PDF kernel
+# ---------------------------------------------------------------------------
+
+pdf_line = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\r\n"),
+    min_size=0, max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(pdf_line, min_size=1, max_size=8), st.booleans())
+def test_pdf_roundtrip_any_unicode(lines, compress):
+    r = extract_pdf_text(synth_pdf(lines, compress=compress))
+    assert r.lines == lines
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_pdf_never_raises_on_arbitrary_bytes(data):
+    r = extract_pdf_text(data)
+    assert isinstance(r.text, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=1, max_size=200))
+def test_pdf_never_raises_on_pdf_shaped_garbage(body):
+    wrapped = (b"1 0 obj\n<< /Length " + str(len(body)).encode()
+               + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream\nendobj")
+    r = extract_pdf_text(wrapped)
+    assert isinstance(r.text, str)
+    # valid zlib payloads must decode; invalid ones contribute nothing
+    try:
+        zlib.decompress(body)
+    except zlib.error:
+        assert r.n_runs == 0
+
+
+# ---------------------------------------------------------------------------
+# banded SimHash: pigeonhole exactness vs brute force
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                min_size=2, max_size=12, unique=True))
+def test_simhash_band_pairs_matches_bruteforce(spark_session_fps):
+    # hypothesis can't inject the spark fixture; use the module-level
+    # session started lazily below
+    fps = spark_session_fps
+    spark = _spark()
+    from html_parser_spark.operators.dedup import simhash_band_pairs
+
+    rows = list(enumerate(fps))
+    df = spark.createDataFrame(rows, ["id", "simhash"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs(df, bands=4, bits=60, max_hamming=3).collect()
+    }
+    want = {}
+    for i, (ia, fa) in enumerate(rows):
+        for ib, fb in rows[i + 1:]:
+            h = bin(fa ^ fb).count("1")
+            if h <= 3:
+                want[(ia, ib)] = h
+    assert got == want
+
+
+_SPARK = None
+
+
+def _spark():
+    global _SPARK
+    if _SPARK is None:
+        from pyspark.sql import SparkSession
+
+        _SPARK = (
+            SparkSession.builder.master("local[4]")
+            .appName("prop-r2")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        _SPARK.sparkContext.setLogLevel("ERROR")
+    return _SPARK
+
+
+# ---------------------------------------------------------------------------
+# dup_clusters vs plain union-find
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15))
+    .filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=20,
+))
+def test_dup_clusters_matches_union_find(edges):
+    from html_parser_spark.operators.dedup import dup_clusters
+
+    spark = _spark()
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(norm, ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(df, max_iter=20).collect()}
+
+    # reference union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
