@@ -83,7 +83,26 @@ def _decode_stream(dict_part: bytes, body: bytes) -> Optional[bytes]:
     return body
 
 
-def _runs_of_stream(data: bytes) -> List[PdfRun]:
+def _decode_text(raw: bytes, encoding: str) -> str:
+    """PDF literal strings carry bytes; decode per ``encoding``:
+
+    * ``"auto"`` (default) — UTF-8 first, latin-1 fallback: correct for
+      our generator (UTF-8) and for pure-ASCII real PDFs; a genuine
+      latin-1 string whose bytes happen to form valid UTF-8 would be
+      composed, so corpora known to be latin-1 should pass
+      ``encoding="latin-1"`` explicitly (multi-byte characters split
+      across two shows also need a fixed encoding);
+    * any codec name — decoded with ``errors="replace"``, never raises.
+    """
+    if encoding == "auto":
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return raw.decode("latin-1")
+    return raw.decode(encoding, errors="replace")
+
+
+def _runs_of_stream(data: bytes, encoding: str = "auto") -> List[PdfRun]:
     """Walk one content stream's text operators; returns show-runs with
     their device-space baseline positions.
 
@@ -127,13 +146,7 @@ def _runs_of_stream(data: bytes) -> List[PdfRun]:
             continue
         if tok in (b"Tj", b"TJ"):
             raw = b"".join(pending)
-            # PDF literal strings carry bytes; our generator writes
-            # UTF-8, real-world simple PDFs are mostly latin-ish —
-            # try UTF-8, fall back to latin-1 (never raises)
-            try:
-                text = raw.decode("utf-8")
-            except UnicodeDecodeError:
-                text = raw.decode("latin-1")
+            text = _decode_text(raw, encoding)
             # empty shows still mark a baseline: keep them so blank
             # lines survive (dropping them breaks line counting)
             runs.append(PdfRun(y, x, text))
@@ -175,7 +188,8 @@ def _runs_of_stream(data: bytes) -> List[PdfRun]:
 
 
 def extract_pdf_text(data: bytes, y_quantum: float = 2.0,
-                     column_gap: float = 150.0) -> PdfExtract:
+                     column_gap: float = 150.0,
+                     encoding: str = "auto") -> PdfExtract:
     """Extract layout-ordered text from a PDF byte payload.
 
     Never raises on malformed input (mirrors the HTML kernel's
@@ -194,7 +208,7 @@ def extract_pdf_text(data: bytes, y_quantum: float = 2.0,
         decoded = _decode_stream(body[:sm.start()], sm.group(1))
         if decoded is None or b"BT" not in decoded:
             continue
-        runs.extend(_runs_of_stream(decoded))
+        runs.extend(_runs_of_stream(decoded, encoding))
 
     # ---- layout pass ----
     # column segmentation: sort run x positions; a gap > column_gap

@@ -147,13 +147,26 @@ def dup_clusters(
         if changed == 0:
             break
     else:
-        # the loop never converged: some component's diameter exceeds
-        # max_iter, so labels would silently violate the documented
-        # min-reachable-id contract — fail loudly instead
-        raise RuntimeError(
-            f"dup_clusters did not converge in max_iter={max_iter} rounds; "
-            "a component's diameter exceeds the iteration budget — raise max_iter"
+        # the final round still changed labels.  That is fine if it was
+        # the round that COMPLETED convergence, so run one extra
+        # stability check before declaring failure — only a state where
+        # another round would still lower some label violates the
+        # min-reachable-id contract.
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
         )
+        unstable = (
+            labels.join(neigh, "id")
+            .where(F.col("nmin") < F.col("label"))
+            .limit(1).count()
+        )
+        if unstable:
+            raise RuntimeError(
+                f"dup_clusters did not converge in max_iter={max_iter} rounds; "
+                "a component's diameter exceeds the iteration budget — raise max_iter"
+            )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

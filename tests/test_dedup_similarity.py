@@ -274,3 +274,13 @@ def test_dup_clusters_raises_on_nonconvergence(spark):
         dup_clusters(pairs, max_iter=2)
     got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iter=10).collect()}
     assert set(got.values()) == {0}
+
+
+def test_dup_clusters_converges_exactly_at_budget(spark):
+    """Convergence completing on the final allowed round must not raise
+    (the stability check distinguishes it from real non-convergence)."""
+    from html_parser_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])  # diameter 2
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iter=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 0}

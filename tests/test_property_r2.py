@@ -1,8 +1,10 @@
 """Property-based tests for the round-2 operators.
 
-Spark-free where possible (the pure kernels), Spark-backed with small
-bounded examples for the distributed ops — hypothesis drives the
-shapes, a plain-Python reference implementation is the oracle.
+Spark-free where possible (the pure kernels); the distributed ops take
+the session-scoped ``spark`` fixture (hypothesis allows session-scoped
+fixtures as plain params — only function-scoped ones trip its health
+check) so all tests share the conftest session with its pinned UTC
+timezone.  Plain-Python reference implementations are the oracles.
 """
 
 import zlib
@@ -10,7 +12,9 @@ import zlib
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from html_parser_spark.kernel.pdftext import extract_pdf_text, synth_pdf
+from html_parser_spark.kernel.pdftext import (
+    _decode_stream, extract_pdf_text, synth_pdf,
+)
 
 # ---------------------------------------------------------------------------
 # PDF kernel
@@ -43,11 +47,36 @@ def test_pdf_never_raises_on_pdf_shaped_garbage(body):
                + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream\nendobj")
     r = extract_pdf_text(wrapped)
     assert isinstance(r.text, str)
-    # valid zlib payloads must decode; invalid ones contribute nothing
-    try:
-        zlib.decompress(body)
-    except zlib.error:
+    # the predicate must mirror _decode_stream (strict decompress PLUS
+    # the partial-decode fallback): only when both fail can no runs
+    # possibly be produced — a truncated-but-valid prefix is decodable
+    if _decode_stream(b"/FlateDecode", body) is None:
         assert r.n_runs == 0
+
+
+def test_pdf_truncated_valid_zlib_still_decodes():
+    """Pinned counterexample: strict zlib.decompress raises on a
+    truncated stream but the decompressobj fallback recovers the
+    prefix — the kernel must extract, not drop."""
+    import pytest
+
+    body = zlib.compress(b"BT 72 700 Td (HELLO) Tj ET")[:-3]
+    with pytest.raises(zlib.error):
+        zlib.decompress(body)
+    wrapped = (b"1 0 obj\n<< /Length " + str(len(body)).encode()
+               + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream\nendobj")
+    r = extract_pdf_text(wrapped)
+    assert r.lines == ["HELLO"]
+
+
+def test_pdf_explicit_latin1_encoding():
+    """encoding='latin-1' escape hatch: bytes that happen to form valid
+    UTF-8 stay two latin-1 characters instead of being composed."""
+    content = b"BT 72 700 Td (\xc3\xa9) Tj ET"
+    raw = (b"1 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj")
+    assert extract_pdf_text(raw).lines == ["é"]                  # auto: UTF-8 wins
+    assert extract_pdf_text(raw, encoding="latin-1").lines == ["Ã©"]
 
 
 # ---------------------------------------------------------------------------
@@ -55,13 +84,9 @@ def test_pdf_never_raises_on_pdf_shaped_garbage(body):
 # ---------------------------------------------------------------------------
 
 @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
-@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
-                min_size=2, max_size=12, unique=True))
-def test_simhash_band_pairs_matches_bruteforce(spark_session_fps):
-    # hypothesis can't inject the spark fixture; use the module-level
-    # session started lazily below
-    fps = spark_session_fps
-    spark = _spark()
+@given(fps=st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                    min_size=2, max_size=12, unique=True))
+def test_simhash_band_pairs_matches_bruteforce(spark, fps):
     from html_parser_spark.operators.dedup import simhash_band_pairs
 
     rows = list(enumerate(fps))
@@ -79,40 +104,19 @@ def test_simhash_band_pairs_matches_bruteforce(spark_session_fps):
     assert got == want
 
 
-_SPARK = None
-
-
-def _spark():
-    global _SPARK
-    if _SPARK is None:
-        from pyspark.sql import SparkSession
-
-        _SPARK = (
-            SparkSession.builder.master("local[4]")
-            .appName("prop-r2")
-            .config("spark.sql.shuffle.partitions", "4")
-            .config("spark.ui.enabled", "false")
-            .config("spark.ui.showConsoleProgress", "false")
-            .getOrCreate()
-        )
-        _SPARK.sparkContext.setLogLevel("ERROR")
-    return _SPARK
-
-
 # ---------------------------------------------------------------------------
 # dup_clusters vs plain union-find
 # ---------------------------------------------------------------------------
 
 @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
-@given(st.lists(
+@given(edges=st.lists(
     st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15))
     .filter(lambda p: p[0] != p[1]),
     min_size=1, max_size=20,
 ))
-def test_dup_clusters_matches_union_find(edges):
+def test_dup_clusters_matches_union_find(spark, edges):
     from html_parser_spark.operators.dedup import dup_clusters
 
-    spark = _spark()
     norm = [(min(a, b), max(a, b)) for a, b in edges]
     df = spark.createDataFrame(norm, ["id_a", "id_b"])
     got = {r["id"]: r["cluster_id"] for r in dup_clusters(df, max_iter=20).collect()}
