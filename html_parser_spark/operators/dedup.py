@@ -14,9 +14,24 @@ Scale notes (100 TB):
   keys, the only scalable strategy at 10^9+ docs (no cross join ever);
 * n-gram Jaccard / SimHash-hamming verification runs only on candidate
   pairs out of the LSH join, never all pairs.
+
+Composition contract — **exact dedup BEFORE near-dup**.  The banded
+joins (:func:`lsh_candidate_pairs`, :func:`simhash_band_pairs`,
+:func:`embedding_near_dups`) emit candidate pairs via self-equi-join on
+band keys, so a bucket of ``m`` identical documents yields ``m²`` join
+rows.  Real web corpora are 30–60% exact-duplicate boilerplate — the
+"per-bucket cardinality ~ n / 2^k" assumption holds only AFTER exact
+duplicates are collapsed.  Run :func:`exact_dedup` first (as
+``operators.curate.curate_corpus`` does), and/or set
+``max_bucket_size`` on the banded joins, which drops over-cap buckets
+from the join and accounts for them via :func:`oversize_band_buckets`
+(the standard Manku-style hot-bucket guard).  The same cap bounds
+component sizes for :func:`dup_clusters`.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -74,25 +89,49 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over long-form signatures.
 
     Band key = md5 of the concatenated row-signatures of the band; docs
     sharing any band key become a candidate pair (equi-join, no cross
     join).  Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket_size`` (opt-in): drop band buckets with more members
+    than the cap before the self-join — the hot-bucket guard for
+    corpora that violate the exact-dedup-first contract (module
+    docstring).  Account for dropped buckets with
+    :func:`oversize_band_buckets` over :func:`lsh_banded_signatures`.
     """
-    banded = (
+    banded = lsh_banded_signatures(sigs, rows_per_band)
+    return _banded_candidate_pairs(
+        banded, key_col="band_key", max_bucket_size=max_bucket_size
+    )
+
+
+def lsh_banded_signatures(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Long-form (id, band, band_key) table for banded MinHash LSH."""
+    return (
         sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+
+
+def oversize_band_buckets(
+    banded: DataFrame,
+    max_bucket_size: int,
+    band_col: str = "band",
+    key_col: str = "key",
+) -> DataFrame:
+    """Accounting twin of the ``max_bucket_size`` guard: the band
+    buckets the capped join skipped, as (band, key, n_members).  At web
+    scale these are almost always exact-duplicate boilerplate clusters —
+    route them through :func:`exact_dedup` instead of the banded join."""
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        banded.groupBy(F.col(band_col).alias("band"), F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_bucket_size)
     )
 
 
@@ -106,14 +145,21 @@ def dup_clusters(
     clusters: returns (id, cluster_id) with ``cluster_id`` = the
     minimum id reachable in the component (the canonical document).
 
-    Min-label propagation: each iteration joins current labels onto
-    the (symmetrized) edge list and takes the per-node min of own and
-    neighbor labels — one shuffle per iteration, converging in
-    O(diameter) ≤ O(log n) rounds for the near-clique components LSH
-    emits.  ``localCheckpoint`` after every round truncates the lineage
-    so the plan doesn't grow exponentially — required at any scale, not
-    an optimization.  Components from dedup are tiny (dup groups), so
-    no skew handling is needed on the label join.
+    Min-label propagation WITH pointer jumping: each iteration (a)
+    joins current labels onto the (symmetrized) edge list and takes the
+    per-node min of own and neighbor labels, then (b) jumps
+    ``label ← label(label)`` — every label value is itself a node id,
+    so one extra self-join on the label table doubles the effective
+    propagation distance per round.  Convergence is O(log diameter)
+    (pointer doubling), not O(diameter): a 10^4-node chain converges in
+    ~15 rounds instead of 10^4 (property-tested with a 10k star+chain
+    component in tests/test_dedup.py).  Per-round shuffle volume is
+    bounded by |E| + 2|V| rows regardless of component shape — a huge
+    boilerplate cluster costs rounds' join rows, never m² anything
+    (pair *generation* is where hot buckets explode; cap them upstream,
+    see module docstring).  ``localCheckpoint`` after every round
+    truncates the lineage so the plan doesn't grow exponentially —
+    required at any scale, not an optimization.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
@@ -130,11 +176,19 @@ def dup_clusters(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        # Pointer jump: adopt the label OF my label.  label is always a
+        # node id present in `stepped`, so the left join always matches;
+        # the coalesce is belt-and-braces for edge-less ids.
+        jump = stepped.select(F.col("id").alias("label"), F.col("label").alias("jlabel"))
         new_labels = (
-            labels.join(neigh, "id", "left")
+            stepped.join(jump, "label", "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))).alias("label"),
             )
             .localCheckpoint()
         )
@@ -231,13 +285,29 @@ def _banded_candidate_pairs(
     band_col: str = "band",
     key_col: str = "key",
     carry: tuple = (),
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs from a long-form banded signature table:
     self-equi-join on (band, key) with ``id_a < id_b``, then distinct.
     ``carry`` columns come back as ``<c>_a`` / ``<c>_b`` for verify
     stages that need per-side payloads (e.g. fingerprints).  Shared by
-    the SimHash and embedding LSH scale paths so the candidate-pair
-    semantics live in one place."""
+    the MinHash, SimHash and embedding LSH scale paths so the
+    candidate-pair semantics live in one place.
+
+    ``max_bucket_size``: when set, band buckets with more members than
+    the cap are excluded from the join (a bucket of m members emits
+    m(m-1)/2 pairs — unbounded on boilerplate-heavy corpora).  The
+    window count shuffles on the same (band, key) the join itself
+    shuffles on, so the guard costs one co-partitioned pass, no new
+    shuffle key.  Skipped buckets are observable via
+    :func:`oversize_band_buckets` on the same signature table."""
+    if max_bucket_size is not None:
+        w = Window.partitionBy(band_col, key_col)
+        exploded = (
+            exploded.withColumn("_bn", F.count("*").over(w))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     sel = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")]
     for c in carry:
@@ -258,6 +328,7 @@ def simhash_band_pairs(
     max_hamming: int = 3,
     id_col: str = "id",
     fp_col: str = "simhash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded SimHash hamming join — the scale form of near-dup search.
 
@@ -268,7 +339,11 @@ def simhash_band_pairs(
     ``max_hamming < bands``: a pair differing in ≤ bands-1 bits must
     leave at least one band untouched.  Never an all-pairs join —
     per-bucket cardinality is ~n / 2^(bits/bands) on random bits
-    (Manku et al., WWW'07 simhash dedup design).
+    (Manku et al., WWW'07 simhash dedup design).  That assumption fails
+    on exact-duplicate-heavy corpora — run exact dedup first (module
+    docstring) and/or set ``max_bucket_size`` to cap hot buckets (note:
+    capping trades the pigeonhole exactness for boundedness on the
+    skipped buckets — account for them via :func:`oversize_band_buckets`).
     """
     if max_hamming >= bands:
         raise ValueError("exactness needs max_hamming < bands (pigeonhole)")
@@ -289,11 +364,30 @@ def simhash_band_pairs(
         .select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
     )
     return (
-        _banded_candidate_pairs(e, key_col="chunk", carry=("fp",))
+        _banded_candidate_pairs(e, key_col="chunk", carry=("fp",),
+                                max_bucket_size=max_bucket_size)
         .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def plane_sign_matrix(num_planes: int, dim: int) -> list:
+    """±1 hyperplane matrix for embedding LSH, computed ONCE on the
+    driver: plane ``k``'s sign over dimension ``i`` is the parity of
+    the first 4 hex digits of ``md5("plane:<k>:<i>")`` — byte-identical
+    to the DuckDB oracle's formula, but evaluated ``planes × dim`` times
+    total instead of per row (the round-2 form re-derived every sign
+    inside the Catalyst expression: ~10^13 redundant md5 calls at 10^9
+    vectors)."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"plane:{k}:{i}".encode()).hexdigest()[:4], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for k in range(num_planes)
+    ]
 
 
 def embedding_lsh_signatures(
@@ -302,30 +396,38 @@ def embedding_lsh_signatures(
     vec_col: str = "embedding",
     bands: int = 4,
     band_bits: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Long-form banded random-hyperplane signatures: (id, band, key).
 
-    Plane ``k``'s sign over dimension ``i`` is the parity of
-    ``md5("plane:<k>:<i>")`` — deterministic, RNG-free, reproduced
-    exactly by the DuckDB oracle.  Bit ``k`` of the signature is
-    ``dot(v, plane_k) >= 0``; band ``b``'s join key packs bits
-    ``[b*band_bits, (b+1)*band_bits)`` into an int, so each band's key
-    takes ``2^band_bits`` values and per-bucket cardinality is
+    The ±1 plane matrix comes from :func:`plane_sign_matrix`
+    (md5-parity, deterministic, RNG-free, reproduced exactly by the
+    DuckDB oracle) and is inlined as constant-foldable literal arrays —
+    the physical plan contains ZERO md5 calls.  Bit ``k`` of the
+    signature is ``dot(v, plane_k) >= 0`` with the same left-to-right
+    fold order as the oracle's ``list_sum``; band ``b``'s join key packs
+    bits ``[b*band_bits, (b+1)*band_bits)`` into an int, so each band's
+    key takes ``2^band_bits`` values and per-bucket cardinality is
     ``~n / 2^band_bits`` — the equi-join stays linear at 10^9 vectors.
-    All signature math is codegen'd array expressions (no Python).
+
+    ``dim`` (the fixed embedding dimensionality) is probed with one
+    ``first()`` job when not passed; pass it explicitly in pipelines
+    that know their schema.  Empty input returns an empty frame.
     """
+    if dim is None:
+        probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            return emb.select(
+                F.col(id_col).alias("id"),
+                F.lit(0).alias("band"),
+                F.lit(0).alias("key"),
+            ).where(F.lit(False))
+        dim = int(probe["d"])
+    signs = plane_sign_matrix(bands * band_bits, dim)
     v = F.col(vec_col).cast("array<double>")
 
     def plane_sign(k: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.size(v) - 1),
-            lambda i: F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(":", F.lit("plane"), F.lit(str(k)), i)), 1, 4), 16, 10
-                ).cast("int") % 2 == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+        return F.array(*[F.lit(s) for s in signs[k]])
 
     def bit(k: int) -> Column:
         proj = F.aggregate(F.zip_with(v, plane_sign(k), lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x)
@@ -351,6 +453,8 @@ def embedding_near_dups(
     threshold: float = 0.95,
     bands: int = 4,
     band_bits: int = 8,
+    dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dups via multi-band multi-bit hyperplane LSH.
 
@@ -361,10 +465,11 @@ def embedding_near_dups(
     ``p = 1 - arccos(c)/pi``; tune ``bands`` up / ``band_bits`` down for
     recall, the reverse for precision.  Vectors are re-joined only for
     the (small) candidate set, so the wide embedding column is never
-    duplicated through the explode.
+    duplicated through the explode.  ``max_bucket_size`` caps hot band
+    buckets (module docstring contract).
     """
-    sigs = embedding_lsh_signatures(emb, id_col, vec_col, bands, band_bits)
-    pairs = _banded_candidate_pairs(sigs)
+    sigs = embedding_lsh_signatures(emb, id_col, vec_col, bands, band_bits, dim=dim)
+    pairs = _banded_candidate_pairs(sigs, max_bucket_size=max_bucket_size)
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731

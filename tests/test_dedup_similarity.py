@@ -284,3 +284,127 @@ def test_dup_clusters_converges_exactly_at_budget(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])  # diameter 2
     got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iter=2).collect()}
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_dup_clusters_large_star_chain_component(spark):
+    """10k-node pathological component (9k-leaf star + 1k-link chain
+    hanging off the hub): pointer jumping converges in O(log diameter)
+    rounds — a plain min-propagation would need ~1000 rounds for the
+    chain and blow the budget.  Per-round shuffle volume stays at
+    |E| + 2|V| rows (no m² blowup for the huge star)."""
+    from html_parser_spark.operators.dedup import dup_clusters
+
+    n_star, n_chain = 9000, 1000
+    hub = n_chain  # chain ids 0..n_chain, hub at the end, star leaves above
+    edges = [(i, i + 1) for i in range(n_chain)]                # chain 0-1-...-hub
+    edges += [(hub, hub + 1 + j) for j in range(n_star)]        # star leaves
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(8)
+    labels = dup_clusters(pairs, max_iter=15)  # ~log2(1000)+const rounds needed
+    assert labels.count() == n_star + n_chain + 1
+    assert labels.select("cluster_id").distinct().collect() == [
+        labels.sparkSession.createDataFrame([(0,)], ["cluster_id"]).collect()[0]
+    ]
+
+
+def test_banded_join_hot_bucket_cap(spark):
+    """The Manku-style hot-bucket guard: a bucket of 1k identical
+    fingerprints would emit ~500k join rows; with max_bucket_size the
+    candidate output is bounded and the skipped bucket is accounted."""
+    from html_parser_spark.operators.dedup import (
+        lsh_banded_signatures, lsh_candidate_pairs, minhash_signatures,
+        oversize_band_buckets, simhash_band_pairs,
+    )
+
+    # 1000 identical simhashes + a small honest near-dup pair far away
+    base = 0x0F0F0F0F0F0F0F
+    rows = [(i, base) for i in range(1000)]
+    rows += [(2000, 0x2AAAAAAAAAAAAA), (2001, 0x2AAAAAAAAAAAAA ^ (1 << 3))]
+    fp = spark.createDataFrame(rows, ["id", "simhash"])
+
+    capped = simhash_band_pairs(fp, bands=4, bits=60, max_hamming=3,
+                                max_bucket_size=16).collect()
+    pairset = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (2000, 2001) in pairset            # small buckets still join
+    assert len(pairset) == 1                  # the 1k hot bucket emitted nothing
+    # uncapped the same input emits ~500k pairs — check on a 100-row slice
+    uncapped = simhash_band_pairs(
+        fp.where(F.col("id") < 100), bands=4, bits=60, max_hamming=3).count()
+    assert uncapped == 100 * 99 // 2
+
+    # accounting twin surfaces exactly the dropped buckets
+    sigs = minhash_signatures(
+        spark.createDataFrame([(i, "same text repeated here") for i in range(50)]
+                              + [(100, "another unique document entirely")],
+                              ["doc_id", "text"]),
+        num_hashes=8, shingle_n=3)
+    banded = lsh_banded_signatures(sigs, rows_per_band=2)
+    over = oversize_band_buckets(banded, max_bucket_size=10, key_col="band_key").collect()
+    assert len(over) == 4 and all(r["n_members"] == 50 for r in over)
+    assert lsh_candidate_pairs(sigs, bands=4, rows_per_band=2,
+                               max_bucket_size=10).count() == 0
+
+
+def test_embedding_lsh_literal_planes(spark):
+    """Round-3 fix: plane signs are precomputed driver-side — the
+    physical plan contains ZERO md5 calls, and empty input is safe."""
+    import io
+    from contextlib import redirect_stdout
+
+    from html_parser_spark.operators.dedup import (
+        embedding_lsh_signatures, plane_sign_matrix,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5, 3.0]), (1, [0.9, -2.1, 0.6, 2.9])],
+        ["vec_id", "embedding"])
+    sigs = embedding_lsh_signatures(emb, bands=2, band_bits=4, dim=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sigs.explain("formatted")
+    assert "md5" not in buf.getvalue().lower()
+    assert sigs.count() == 4                  # 2 ids × 2 bands
+    # the ±1 matrix is the md5-parity formula, reproducible
+    m = plane_sign_matrix(2, 3)
+    assert all(s in (1.0, -1.0) for row in m for s in row)
+    assert m == plane_sign_matrix(2, 3)
+    # empty input short-circuits the dim probe
+    empty = embedding_lsh_signatures(emb.where(F.lit(False)), bands=2, band_bits=4)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "band", "key"]
+
+
+def test_kmeans_dim_robust_and_degenerate_inputs(spark):
+    """Round-3: per-cell vector sums travel as ONE array<double> per
+    (partition, cell) — works at dim 512 with no 512-wide aggregate;
+    empty input raises; num_cells clamps to the corpus size."""
+    import math
+
+    from html_parser_spark.operators.similarity import (
+        build_ivf_index, kmeans_centroids,
+    )
+
+    import hashlib
+
+    def vec(seed, dim=512):
+        return [
+            (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:4], 16) / 32768.0) - 1.0
+            for i in range(dim)
+        ]
+
+    rows = [(i, vec(f"v{i}")) for i in range(24)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    cents = kmeans_centroids(emb, num_cells=4, iters=2)
+    assert len(cents) == 4 and all(len(c[1]) == 512 for c in cents)
+    for _, cv in cents:
+        assert abs(math.sqrt(sum(x * x for x in cv)) - 1.0) < 1e-9
+
+    # fewer vectors than requested cells: clamp, don't crash
+    small = spark.createDataFrame(rows[:3], ["vec_id", "embedding"])
+    assert len(kmeans_centroids(small, num_cells=8, iters=1)) == 3
+
+    # empty input: a clear error, not a TypeError on first()[0]
+    empty = emb.where(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_centroids(empty, num_cells=4)
+    with pytest.raises(ValueError, match="empty"):
+        build_ivf_index(empty, num_cells=4)

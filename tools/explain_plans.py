@@ -83,6 +83,9 @@ CHECKS = {
         "no_cartesian": lambda p: "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p,
         "pushed_filter": lambda p: re.search(r"PushedFilters:[^\n]*vec_id", p),
+        # plane signs are a driver-precomputed literal matrix — zero
+        # per-row md5 evaluations in the signature expressions
+        "no_per_row_plane_md5": lambda p: "md5" not in p.lower(),
     },
     "simhash_banded_pairs": {
         "equi_join": lambda p: "Join" in p,
