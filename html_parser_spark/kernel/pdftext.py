@@ -7,7 +7,10 @@ real-world documents use:
 
 * objects located by scanning ``N G obj … endobj`` (no xref walk — the
   permissive posture of the HTML kernel applied to PDF: damaged xref
-  tables are the PDF equivalent of unclosed tags);
+  tables are the PDF equivalent of unclosed tags); stream extents honor
+  the dict's ``/Length`` when it lines up with an ``endstream``
+  keyword, so compressed bodies containing the literal bytes
+  ``endstream``/``endobj`` don't truncate (scan fallback otherwise);
 * streams: raw or ``/FlateDecode`` (zlib — stdlib, a REAL codec path,
   unlike the multimodal image/audio stubs);
 * text extraction from content streams: ``BT``/``ET`` blocks with
@@ -32,8 +35,11 @@ import re
 import zlib
 from typing import List, NamedTuple, Optional, Tuple
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_OBJ_START_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_STREAM_BODY_RE = re.compile(rb"(.*?)\r?\nendstream", re.S)
+_ENDSTREAM_AFTER_RE = re.compile(rb"\r?\n?endstream")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 # text-showing + cursor operators inside BT/ET
 _TOK_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"            # literal string
@@ -69,6 +75,61 @@ class PdfExtract(NamedTuple):
     n_objects: int
     n_streams: int
     n_runs: int
+
+
+def _iter_objects(data: bytes):
+    """Yield ``(dict_part, stream_body | None)`` per ``N G obj`` object.
+
+    A stream body is sliced by its dict's ``/Length`` when the entry
+    parses as an integer AND the slice lands on an ``endstream``
+    keyword (round-2 advice: a FlateDecode body containing the literal
+    bytes ``endstream``/``endobj`` must not silently truncate the
+    stream); only when ``/Length`` is absent or doesn't line up does
+    the permissive scan to the first ``endstream`` apply.  The next
+    object search resumes after the stream's real end, so byte
+    sequences inside a length-delimited stream can't masquerade as
+    object boundaries.  An unterminated stream runs to EOF — the PDF
+    analog of the HTML kernel's unterminated-raw-text quirk.
+    """
+    pos = 0
+    n = len(data)
+    while pos < n:
+        om = _OBJ_START_RE.search(data, pos)
+        if om is None:
+            return
+        em = data.find(b"endobj", om.end())
+        sm = _STREAM_START_RE.search(data, om.end())
+        if sm is None or (em != -1 and em < sm.start()):
+            # streamless object (or the next stream belongs to a later one)
+            if em == -1:
+                yield data[om.end():], None
+                return
+            yield data[om.end():em], None
+            pos = em + len(b"endobj")
+            continue
+        dict_part = data[om.end():sm.start()]
+        body_start = sm.end()
+        body = None
+        after = n
+        lm = _LENGTH_RE.search(dict_part)
+        if lm is not None:
+            ln = int(lm.group(1))
+            if body_start + ln <= n and _ENDSTREAM_AFTER_RE.match(data, body_start + ln):
+                body = data[body_start:body_start + ln]
+                after = body_start + ln
+        if body is None:
+            bm = _STREAM_BODY_RE.match(data, body_start)
+            if bm is not None:
+                body = bm.group(1)
+                after = bm.end()
+            else:
+                yield dict_part, data[body_start:]
+                return
+        yield dict_part, body
+        em2 = data.find(b"endobj", after)
+        if em2 == -1:
+            return
+        pos = em2 + len(b"endobj")
 
 
 def _decode_stream(dict_part: bytes, body: bytes) -> Optional[bytes]:
@@ -198,14 +259,12 @@ def extract_pdf_text(data: bytes, y_quantum: float = 2.0,
     runs: List[PdfRun] = []
     n_objects = 0
     n_streams = 0
-    for om in _OBJ_RE.finditer(data):
+    for dict_part, body in _iter_objects(data):
         n_objects += 1
-        body = om.group(3)
-        sm = _STREAM_RE.search(body)
-        if sm is None:
+        if body is None:
             continue
         n_streams += 1
-        decoded = _decode_stream(body[:sm.start()], sm.group(1))
+        decoded = _decode_stream(dict_part, body)
         if decoded is None or b"BT" not in decoded:
             continue
         runs.extend(_runs_of_stream(decoded, encoding))

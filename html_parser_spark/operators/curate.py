@@ -37,7 +37,16 @@ def curate_corpus(
     text_col: str = "text",
     lang_col: Optional[str] = None,
 ) -> DataFrame:
-    """df + ``quality`` + ``lang_used`` + ``drop_reason`` (null = kept)."""
+    """df + ``quality`` + ``lang_used`` + ``drop_reason`` (null = kept).
+
+    ``langs`` must be non-empty.  A NULL value in ``lang_col`` makes the
+    ``isin`` test NULL, so the row classifies as KEPT rather than
+    ``wrong_lang`` (matching the DuckDB oracle's SQL three-valued
+    logic); callers passing a nullable metadata column who want NULL to
+    drop should ``coalesce(lang, '')`` before calling.
+    """
+    if not langs:
+        raise ValueError("curate_corpus: langs must be a non-empty sequence")
     if lang_col is None:
         df = lang_id(df, text_col, out_col="_lang")
         lang = F.col("_lang")

@@ -263,6 +263,16 @@ def test_curate_corpus_first_reason_accounting(spark):
     got2 = {r["doc_id"]: r["drop_reason"] for r in cur2.collect()}
     assert got2[3] == "wrong_lang"             # german detected by stopwords
     assert got2[0] is None
+    # empty allowlist is a caller error, not a silent isin() crash
+    with pytest.raises(ValueError, match="non-empty"):
+        curate_corpus(df, langs=())
+    # NULL lang metadata keeps the row (SQL 3VL, matches the oracle)
+    nl = spark.createDataFrame(
+        [(0, " ".join(["plenty of words here to pass the floor"] * 3), None)],
+        "doc_id int, text string, lang string")
+    kept = curate_corpus(nl, quality_threshold=0.0, langs=("en",),
+                         min_tokens=1, lang_col="lang").collect()[0]
+    assert kept["drop_reason"] is None
 
 
 def test_dup_clusters_raises_on_nonconvergence(spark):

@@ -54,6 +54,27 @@ def test_same_line_runs_join_left_to_right():
     assert r.lines == ["left right"]
 
 
+def test_length_entry_protects_embedded_keywords():
+    """Round-3 advice fix: a stream body containing the literal bytes
+    'endstream'/'endobj' must not truncate when /Length lines up."""
+    content = (b"BT 72 700 Td (A) Tj ET\nendstream\nendobj\n"
+               b"BT 72 650 Td (B) Tj ET")
+    for flate in (False, True):
+        r = extract_pdf_text(_one_stream_pdf(content, flate=flate))
+        assert r.lines == ["A", "B"]
+        assert r.n_objects == 1 and r.n_streams == 1
+
+
+def test_bad_length_falls_back_to_endstream_scan():
+    content = b"BT 72 700 Td (C) Tj ET"
+    pdf = (b"1 0 obj\n<< /Length 9999 >>\nstream\n" + content
+           + b"\nendstream\nendobj\n")
+    assert extract_pdf_text(pdf).lines == ["C"]
+    pdf2 = (b"1 0 obj\n<< /Length abc >>\nstream\n" + content
+            + b"\nendstream\nendobj\n")
+    assert extract_pdf_text(pdf2).lines == ["C"]
+
+
 def test_octal_escapes():
     content = b"BT 72 700 Td (\\101\\102\\103) Tj ET"
     r = extract_pdf_text(_one_stream_pdf(content))

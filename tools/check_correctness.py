@@ -31,6 +31,13 @@ def canon(rows, cols):
     int64 / Decimal — such pairs hash-differ even when numerically
     equal.  Tag each value with its type family (int / float / decimal /
     str / …) so the local gate is red wherever the driver would be.
+
+    Cross-engine NULL/bool canonicalization (round-3 advice): DuckDB's
+    ``.df()`` pandas path renders a numeric NULL as float NaN while
+    Spark yields Python None — both map to the ``('null', '')`` tag
+    (the driver's comparison treats them as the same missing value).
+    Likewise numpy ``bool_`` (pandas path) tags ``('bool', ...)`` like
+    Python ``bool`` instead of falling through to ``str``.
     """
     import decimal
 
@@ -40,13 +47,18 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = row[i]
-            if isinstance(v, bool):
-                vals.append(("bool", str(v)))
+            if isinstance(v, bool) or type(v).__name__ == "bool_":
+                vals.append(("bool", str(bool(v))))
             elif isinstance(v, decimal.Decimal):
                 vals.append(("decimal", str(v)))
             elif isinstance(v, float) or type(v).__name__ in ("float64", "float32"):
                 v = float(v)
-                vals.append(("float", "nan" if math.isnan(v) else f"{v:.6f}"))
+                if math.isnan(v):
+                    # pandas renders a numeric NULL as NaN; Spark gives
+                    # None — same missing value, same tag
+                    vals.append(("null", ""))
+                else:
+                    vals.append(("float", f"{v:.6f}"))
             elif isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
                 vals.append(("int", str(int(v))))
             elif hasattr(v, "isoformat"):
