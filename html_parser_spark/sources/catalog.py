@@ -52,11 +52,30 @@ def _is_table_ident(src: str) -> bool:
                and all(c.isalnum() or c == "_" for c in p) for p in parts)
 
 
+def _read_iceberg(spark: SparkSession, src: str) -> DataFrame:
+    """Iceberg-branch reader (seam for contract tests: no runtime jar
+    ships in this sandbox, so tests mock this + the probe and assert
+    routing/semantics parity with the parquet branch)."""
+    return spark.read.format("iceberg").load(src)
+
+
+def _write_iceberg(df: DataFrame, dst: str, mode: str) -> None:
+    """Iceberg-branch writer: ``overwritePartitions`` = atomic dynamic
+    partition replace — the contract the parquet fallback must match
+    (tests/test_catalog_jobs.py pins both against a plain-Python
+    model of that contract)."""
+    w = df.writeTo(dst)
+    if mode == "overwrite":
+        w.overwritePartitions()
+    else:
+        w.append()
+
+
 def read_table(spark: SparkSession, src: str) -> DataFrame:
     """Read transcripts from an Iceberg table identifier or a parquet
     path; Catalyst gets partition pruning + column pruning either way."""
     if _is_table_ident(src) and iceberg_available(spark):
-        return spark.read.format("iceberg").load(src)
+        return _read_iceberg(spark, src)
     return spark.read.parquet(src)
 
 
@@ -75,11 +94,7 @@ def write_table(
     """
     spark = df.sparkSession
     if _is_table_ident(dst) and iceberg_available(spark):
-        w = df.writeTo(dst)
-        if mode == "overwrite":
-            w.overwritePartitions()
-        else:
-            w.append()
+        _write_iceberg(df, dst, mode)
         return
     df.write.mode(mode).partitionBy(partition_col).parquet(dst)
 

@@ -39,6 +39,78 @@ def test_read_write_parquet_fallback(spark, sf_dir, tmp_path):
     assert any(p.startswith("bucket=") for p in os.listdir(tmp_path / "t"))
 
 
+def test_iceberg_branch_routing(spark, monkeypatch, tmp_path):
+    """Contract test for the never-exercisable-in-sandbox Iceberg
+    branch (round-3 verdict item): with the capability probe mocked
+    true, a table IDENT must route to the Iceberg reader/writer and a
+    PATH must still route to parquet; with the probe false, idents fall
+    back to parquet.  Fails if the routing or the seam signatures
+    drift."""
+    from html_parser_spark.sources import catalog
+
+    df = spark.range(4).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    calls = []
+    monkeypatch.setattr(catalog, "iceberg_available", lambda s: True)
+    monkeypatch.setattr(catalog, "_read_iceberg",
+                        lambda s, src: calls.append(("read", src)) or df)
+    monkeypatch.setattr(catalog, "_write_iceberg",
+                        lambda d, dst, mode: calls.append(("write", dst, mode)))
+
+    assert catalog.read_table(spark, "cat.db.transcripts") is df
+    catalog.write_table(df, "cat.db.out")
+    catalog.write_table(df, "cat.db.out", mode="append")
+    # a filesystem path must NEVER route to the catalog branch
+    pdir = str(tmp_path / "p")
+    catalog.write_table(df, pdir)
+    assert catalog.read_table(spark, pdir).count() == 4
+    assert calls == [("read", "cat.db.transcripts"),
+                     ("write", "cat.db.out", "overwrite"),
+                     ("write", "cat.db.out", "append")]
+
+    # probe false: idents fall back to the parquet reader
+    monkeypatch.setattr(catalog, "iceberg_available", lambda s: False)
+    monkeypatch.setattr(catalog, "_read_iceberg",
+                        lambda s, src: (_ for _ in ()).throw(AssertionError("routed to iceberg")))
+    try:
+        catalog.read_table(spark, "cat.db.transcripts")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # parquet reader rejects the ident path — correct branch taken
+
+
+def test_parquet_fallback_matches_overwrite_partitions_contract(spark, tmp_path):
+    """The fallback claims ``overwritePartitions`` equivalence (module
+    docstring table).  Pin it against a plain-Python model of Iceberg's
+    dynamic partition replace: writing a df that touches a SUBSET of
+    partitions replaces exactly those partitions and leaves the rest.
+    Fails if anyone weakens the dynamic-overwrite conf or switches the
+    fallback to static overwrite (which would drop untouched
+    partitions)."""
+    from html_parser_spark.sources.catalog import read_table, write_table
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        dst = str(tmp_path / "t")
+        rows1 = [(i, i % 4, f"v1-{i}") for i in range(16)]
+        df1 = spark.createDataFrame(rows1, "id int, bucket int, val string")
+        write_table(df1, dst)
+
+        # rewrite only buckets {1, 3} with new values and fewer rows
+        rows2 = [(100 + b, b, f"v2-{b}") for b in (1, 3)]
+        df2 = spark.createDataFrame(rows2, "id int, bucket int, val string")
+        write_table(df2, dst)
+
+        # plain-Python overwritePartitions model
+        state = {(i, b, v) for i, b, v in rows1 if b not in (1, 3)}
+        state |= set(rows2)
+        got = {(r["id"], r["bucket"], r["val"])
+               for r in read_table(spark, dst).collect()}
+        assert got == state
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
 def test_job_arg_parsing():
     from jobs.extract_job import parse_args
 
