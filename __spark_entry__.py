@@ -426,6 +426,25 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     sigs = minhash_signatures(d, num_hashes=8, shingle_n=3)
     return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
+def q_lsh_capped_pairs(spark, sf_dir):
+    """Round-3 hot-bucket guard on the scale path: band buckets larger
+    than the cap are dropped from the self-join (bounded worst case on
+    boilerplate-heavy corpora), accounted by lsh_bucket_accounting."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    sigs = minhash_signatures(d, num_hashes=8, shingle_n=3)
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2, max_bucket_size=2)
+
+def q_lsh_bucket_accounting(spark, sf_dir):
+    """Accounting twin of the cap: the skipped over-cap band buckets."""
+    from html_parser_spark.operators.dedup import (
+        lsh_banded_signatures, oversize_band_buckets,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    sigs = minhash_signatures(d, num_hashes=8, shingle_n=3)
+    banded = lsh_banded_signatures(sigs, rows_per_band=2)
+    return oversize_band_buckets(banded, max_bucket_size=2, key_col="band_key")
+
 def q_dup_clusters(spark, sf_dir):
     """Duplicate clusters: MinHash → banded LSH pairs → connected
     components (min-label propagation); singletons keep their own id as
@@ -638,6 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "lsh_capped_pairs": q_lsh_capped_pairs,
+        "lsh_bucket_accounting": q_lsh_bucket_accounting,
         "dup_clusters": q_dup_clusters,
         "pdf_extract": q_pdf_extract,
         "normalize_text": q_normalize_text,
@@ -1069,6 +1090,23 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": f"""
             with {_lsh_pairs_cte_sql()}
             select id_a, id_b from cand_pairs
+        """,
+        "lsh_capped_pairs": f"""
+            with {_lsh_pairs_cte_sql()},
+            small as (
+                select band, band_key
+                from banded group by band, band_key having count(*) <= 2
+            )
+            select distinct a.id as id_a, b.id as id_b
+            from banded a
+            join small s on a.band = s.band and a.band_key = s.band_key
+            join banded b on a.band = b.band and a.band_key = b.band_key
+                         and a.id < b.id
+        """,
+        "lsh_bucket_accounting": f"""
+            with {_lsh_pairs_cte_sql()}
+            select band, band_key as key, count(*) as n_members
+            from banded group by band, band_key having count(*) > 2
         """,
         "dup_clusters": f"""
             with recursive {_lsh_pairs_cte_sql()},
