@@ -443,7 +443,7 @@ def q_lsh_bucket_accounting(spark, sf_dir):
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
     sigs = minhash_signatures(d, num_hashes=8, shingle_n=3)
     banded = lsh_banded_signatures(sigs, rows_per_band=2)
-    return oversize_band_buckets(banded, max_bucket_size=2, key_col="band_key")
+    return oversize_band_buckets(banded, max_bucket_size=2)
 
 def q_dup_clusters(spark, sf_dir):
     """Duplicate clusters: MinHash → banded LSH pairs → connected

@@ -39,7 +39,9 @@ _OBJ_START_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_BODY_RE = re.compile(rb"(.*?)\r?\nendstream", re.S)
 _ENDSTREAM_AFTER_RE = re.compile(rb"\r?\n?endstream")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# direct integer /Length only — '/Length 3 0 R' is an indirect object
+# REFERENCE whose number must not be mistaken for a byte length
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R\b)")
 # text-showing + cursor operators inside BT/ET
 _TOK_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"            # literal string

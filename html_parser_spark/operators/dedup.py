@@ -122,12 +122,17 @@ def oversize_band_buckets(
     banded: DataFrame,
     max_bucket_size: int,
     band_col: str = "band",
-    key_col: str = "key",
+    key_col: str = "band_key",
 ) -> DataFrame:
     """Accounting twin of the ``max_bucket_size`` guard: the band
     buckets the capped join skipped, as (band, key, n_members).  At web
     scale these are almost always exact-duplicate boilerplate clusters —
-    route them through :func:`exact_dedup` instead of the banded join."""
+    route them through :func:`exact_dedup` instead of the banded join.
+
+    ``key_col`` defaults to ``band_key`` to match the documented
+    companion :func:`lsh_banded_signatures`; pass ``key_col="chunk"``
+    for SimHash band tables or ``"key"`` for embedding-LSH signature
+    tables."""
     return (
         banded.groupBy(F.col(band_col).alias("band"), F.col(key_col).alias("key"))
         .agg(F.count("*").alias("n_members"))
@@ -411,20 +416,26 @@ def embedding_lsh_signatures(
     ``~n / 2^band_bits`` — the equi-join stays linear at 10^9 vectors.
 
     ``dim`` (the fixed embedding dimensionality) is probed with one
-    ``first()`` job when not passed; pass it explicitly in pipelines
-    that know their schema.  Empty input returns an empty frame.
+    deterministic ``max(size(...))`` aggregate job when not passed;
+    pass it explicitly in pipelines that know their schema.  Rows whose
+    vector is NULL or whose length differs from ``dim`` are EXCLUDED
+    from the signature table (a ragged vector can't hash into any
+    bucket honestly — zip_with NULL-padding would silently send every
+    malformed row to band key 0, pairing them all with each other).
+    Empty/all-NULL input returns an empty frame.
     """
+    v = F.col(vec_col).cast("array<double>")
     if dim is None:
-        probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-        if probe is None:
+        probe = emb.select(F.max(F.size(v)).alias("d")).first()
+        if probe is None or probe["d"] is None or probe["d"] <= 0:
             return emb.select(
                 F.col(id_col).alias("id"),
                 F.lit(0).alias("band"),
                 F.lit(0).alias("key"),
             ).where(F.lit(False))
         dim = int(probe["d"])
+    emb = emb.where(F.size(v) == dim)
     signs = plane_sign_matrix(bands * band_bits, dim)
-    v = F.col(vec_col).cast("array<double>")
 
     def plane_sign(k: int) -> Column:
         return F.array(*[F.lit(s) for s in signs[k]])

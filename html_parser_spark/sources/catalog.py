@@ -88,15 +88,20 @@ def write_table(
     """Write partitioned output idempotently.
 
     Iceberg identifier → ``writeTo(...).overwritePartitions()`` (atomic
-    dynamic partition replace); path → parquet ``partitionBy`` with
-    dynamic partition overwrite (caller sets the session conf, see
-    plans/pipeline.py).
+    dynamic partition replace); path → parquet ``partitionBy`` with the
+    per-write ``partitionOverwriteMode=dynamic`` option, so overwrite
+    replaces ONLY the partitions present in ``df`` regardless of the
+    session conf — the Iceberg-parity contract holds unconditionally
+    (a static overwrite here would silently drop untouched partitions
+    for any caller that didn't set the session conf).
     """
     spark = df.sparkSession
     if _is_table_ident(dst) and iceberg_available(spark):
         _write_iceberg(df, dst, mode)
         return
-    df.write.mode(mode).partitionBy(partition_col).parquet(dst)
+    (df.write.mode(mode)
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col).parquet(dst))
 
 
 TRANSCRIPT_DDL = (

@@ -84,31 +84,29 @@ def test_parquet_fallback_matches_overwrite_partitions_contract(spark, tmp_path)
     docstring table).  Pin it against a plain-Python model of Iceberg's
     dynamic partition replace: writing a df that touches a SUBSET of
     partitions replaces exactly those partitions and leaves the rest.
-    Fails if anyone weakens the dynamic-overwrite conf or switches the
-    fallback to static overwrite (which would drop untouched
-    partitions)."""
+    Deliberately does NOT set the session-level partitionOverwriteMode
+    conf — the contract must hold unconditionally via the per-write
+    option (a session-conf-dependent fallback would silently drop
+    untouched partitions for direct write_table callers)."""
     from html_parser_spark.sources.catalog import read_table, write_table
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        dst = str(tmp_path / "t")
-        rows1 = [(i, i % 4, f"v1-{i}") for i in range(16)]
-        df1 = spark.createDataFrame(rows1, "id int, bucket int, val string")
-        write_table(df1, dst)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
+    dst = str(tmp_path / "t")
+    rows1 = [(i, i % 4, f"v1-{i}") for i in range(16)]
+    df1 = spark.createDataFrame(rows1, "id int, bucket int, val string")
+    write_table(df1, dst)
 
-        # rewrite only buckets {1, 3} with new values and fewer rows
-        rows2 = [(100 + b, b, f"v2-{b}") for b in (1, 3)]
-        df2 = spark.createDataFrame(rows2, "id int, bucket int, val string")
-        write_table(df2, dst)
+    # rewrite only buckets {1, 3} with new values and fewer rows
+    rows2 = [(100 + b, b, f"v2-{b}") for b in (1, 3)]
+    df2 = spark.createDataFrame(rows2, "id int, bucket int, val string")
+    write_table(df2, dst)
 
-        # plain-Python overwritePartitions model
-        state = {(i, b, v) for i, b, v in rows1 if b not in (1, 3)}
-        state |= set(rows2)
-        got = {(r["id"], r["bucket"], r["val"])
-               for r in read_table(spark, dst).collect()}
-        assert got == state
-    finally:
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    # plain-Python overwritePartitions model
+    state = {(i, b, v) for i, b, v in rows1 if b not in (1, 3)}
+    state |= set(rows2)
+    got = {(r["id"], r["bucket"], r["val"])
+           for r in read_table(spark, dst).collect()}
+    assert got == state
 
 
 def test_job_arg_parsing():

@@ -348,7 +348,7 @@ def test_banded_join_hot_bucket_cap(spark):
                               ["doc_id", "text"]),
         num_hashes=8, shingle_n=3)
     banded = lsh_banded_signatures(sigs, rows_per_band=2)
-    over = oversize_band_buckets(banded, max_bucket_size=10, key_col="band_key").collect()
+    over = oversize_band_buckets(banded, max_bucket_size=10).collect()
     assert len(over) == 4 and all(r["n_members"] == 50 for r in over)
     assert lsh_candidate_pairs(sigs, bands=4, rows_per_band=2,
                                max_bucket_size=10).count() == 0
@@ -381,6 +381,32 @@ def test_embedding_lsh_literal_planes(spark):
     empty = embedding_lsh_signatures(emb.where(F.lit(False)), bands=2, band_bits=4)
     assert empty.count() == 0
     assert empty.columns == ["id", "band", "key"]
+
+
+def test_embedding_lsh_null_and_ragged_vectors(spark):
+    """Review findings: a NULL embedding in the probed first row must
+    not crash the dim probe, and ragged vectors must be EXCLUDED (not
+    silently all hashed to band key 0, which would pair every malformed
+    row with every other)."""
+    from html_parser_spark.operators.dedup import (
+        embedding_lsh_signatures, embedding_near_dups,
+    )
+
+    rows = [(0, None), (1, [1.0, -2.0, 0.5, 3.0]), (2, [1.0, -2.0]),
+            (3, [1.1, -2.1, 0.6, 3.1])]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    sigs = embedding_lsh_signatures(emb, bands=2, band_bits=4)
+    ids = {r["id"] for r in sigs.collect()}
+    assert ids == {1, 3}                       # NULL and 2-dim rows excluded
+    # near-dup pair between the two valid 4-dim vectors still found
+    pairs = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dups(emb, threshold=0.9, bands=2,
+                                          band_bits=4).collect()}
+    assert pairs == {(1, 3)}
+    # all-NULL input: empty output, no crash
+    allnull = spark.createDataFrame([(0, None), (1, None)],
+                                    "vec_id int, embedding array<double>")
+    assert embedding_lsh_signatures(allnull, bands=2, band_bits=4).count() == 0
 
 
 def test_kmeans_dim_robust_and_degenerate_inputs(spark):

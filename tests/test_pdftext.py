@@ -75,6 +75,17 @@ def test_bad_length_falls_back_to_endstream_scan():
     assert extract_pdf_text(pdf2).lines == ["C"]
 
 
+def test_indirect_length_reference_is_not_a_byte_count():
+    """Review finding: '/Length 3 0 R' is an indirect object reference
+    — its object number must not be used as the stream length (and the
+    regex must not backtrack '30 0 R' into length 3)."""
+    content = b"BT 72 700 Td (D) Tj ET"
+    for ref in (b"3 0 R", b"30 0 R"):
+        pdf = (b"1 0 obj\n<< /Length " + ref + b" >>\nstream\n" + content
+               + b"\nendstream\nendobj\n")
+        assert extract_pdf_text(pdf).lines == ["D"]
+
+
 def test_octal_escapes():
     content = b"BT 72 700 Td (\\101\\102\\103) Tj ET"
     r = extract_pdf_text(_one_stream_pdf(content))
