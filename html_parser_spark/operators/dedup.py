@@ -305,7 +305,15 @@ def _banded_candidate_pairs(
     window count shuffles on the same (band, key) the join itself
     shuffles on, so the guard costs one co-partitioned pass, no new
     shuffle key.  Skipped buckets are observable via
-    :func:`oversize_band_buckets` on the same signature table."""
+    :func:`oversize_band_buckets` on the same signature table.
+
+    Self-join note: ``exploded`` appears on both join sides, so an
+    expensive upstream pipeline (e.g. the 60-vote SimHash aggregate)
+    is referenced twice in the logical plan.  AQE's runtime exchange
+    reuse covers the shuffle; callers whose signature computation is a
+    wide multi-stage pipeline can additionally ``persist()`` it before
+    calling (measured a wash at bench scale — 0.94× — so not done
+    unconditionally here)."""
     if max_bucket_size is not None:
         w = Window.partitionBy(band_col, key_col)
         exploded = (
