@@ -137,3 +137,61 @@ def test_dup_clusters_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# embedding banded LSH (round-3 literal-plane path) vs plain Python
+# ---------------------------------------------------------------------------
+
+def _py_band_keys(vec, bands, band_bits):
+    """Plain-Python reference of the banded hyperplane signature: same
+    md5-parity plane formula, same left-to-right projection sum."""
+    import hashlib
+
+    def sign(k, i):
+        return 1.0 if int(hashlib.md5(f"plane:{k}:{i}".encode()).hexdigest()[:4], 16) % 2 == 0 else -1.0
+
+    keys = []
+    for b in range(bands):
+        key = 0
+        for j in range(band_bits):
+            k = b * band_bits + j
+            proj = 0.0
+            for i, x in enumerate(vec):
+                proj += x * sign(k, i)
+            if proj >= 0:
+                key |= 1 << j
+        keys.append(key)
+    return keys
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(vecs=st.lists(
+    st.lists(st.integers(min_value=-8, max_value=8).map(float), min_size=3, max_size=3),
+    min_size=2, max_size=8,
+))
+def test_embedding_lsh_matches_python_reference(spark, vecs):
+    """Literal-plane signatures == plain-Python reference (integer-
+    valued vectors keep the float fold order irrelevant), and the
+    candidate set == brute-force share-any-band-key pairs."""
+    from html_parser_spark.operators.dedup import (
+        _banded_candidate_pairs, embedding_lsh_signatures,
+    )
+
+    BANDS, BITS = 2, 4
+    rows = list(enumerate(vecs))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sigs = embedding_lsh_signatures(emb, bands=BANDS, band_bits=BITS, dim=3)
+    got = {(r["id"], r["band"]): r["key"] for r in sigs.collect()}
+    want = {(i, b): k for i, v in rows for b, k in enumerate(_py_band_keys(v, BANDS, BITS))}
+    assert got == want
+
+    pairs = {(r["id_a"], r["id_b"]) for r in _banded_candidate_pairs(sigs).collect()}
+    brute = set()
+    for i, va in rows:
+        ka = _py_band_keys(va, BANDS, BITS)
+        for j, vb in rows[i + 1:]:
+            kb = _py_band_keys(vb, BANDS, BITS)
+            if any(a == b for a, b in zip(ka, kb)):
+                brute.add((i, j))
+    assert pairs == brute
