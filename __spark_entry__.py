@@ -396,6 +396,7 @@ def q_simhash_banded_pairs(spark, sf_dir):
 
 EMB_LSH_BANDS = 4
 EMB_LSH_BAND_BITS = 4
+EMB_DIM = 64  # embeddings.parquet vector length, uniform across sf dirs
 
 def q_embedding_neardup(spark, sf_dir):
     """Multi-band multi-bit hyperplane LSH (4 bands × 4-bit keys here so
@@ -404,7 +405,10 @@ def q_embedding_neardup(spark, sf_dir):
     from html_parser_spark.operators.dedup import embedding_near_dups
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") < 200)
-    out = embedding_near_dups(e, threshold=0.3, bands=EMB_LSH_BANDS, band_bits=EMB_LSH_BAND_BITS)
+    # dim passed explicitly (uniform across all driver fixtures) — the
+    # operator's mode-of-sizes probe job is for schemas we don't know
+    out = embedding_near_dups(e, threshold=0.3, bands=EMB_LSH_BANDS,
+                              band_bits=EMB_LSH_BAND_BITS, dim=EMB_DIM)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 def q_ann_ivf_topk(spark, sf_dir):

@@ -21,11 +21,12 @@ Methodology (what is and isn't inside the timed region):
   worker fork/import cost (a fixed per-executor cost that a
   long-running cluster job pays once) is not billed to throughput;
 * the HEADLINE uses the interleaved-repeat protocol (round-3 verdict
-  item): 3 blocks × 3 runs spread across the window, reported as the
-  median of per-block minima, with ``os.getloadavg()`` probes recorded
-  before/after the timed regions — a noise-contaminated run is
-  self-evident from the JSON instead of silently reading as a
-  regression;
+  item): 3 blocks × 3 runs, each block followed by a third of the
+  query suite so the blocks genuinely spread across the multi-minute
+  window, reported as the median of per-block minima, with
+  ``os.getloadavg()`` probes recorded before every block and after the
+  suite — a noise-contaminated run is self-evident AND localizable
+  from the JSON instead of silently reading as a regression;
 * scaling children time THREE runs and report the minimum, and the
   hardware control is best-of-2 per level — this sandbox has noisy
   neighbors (identical configs have measured 2× apart), and the
@@ -142,15 +143,14 @@ def extraction_throughput(spark, input_dir: str, n_turns: int, timed_runs: int =
     → map-only kernel (no input shuffle — see plans/pipeline.py) →
     aggregate.  No disk sink; count + checksum force full computation.
 
-    ``blocks > 1`` applies the interleaved-repeat protocol to the
-    HEADLINE (the r02 driver run regressed 19% with EVERY query drifting
-    slower — noise-shaped but unproven): run ``blocks`` blocks of
-    ``timed_runs`` back-to-back walls spread over the whole measurement
-    window, take each block's minimum, and report the MEDIAN of the
-    block minima.  A transient load spike contaminates one block, not
-    the median; sustained load shows up in the recorded loadavg probes
-    (see main()), making a contaminated run self-evident rather than
-    silently slow."""
+    ``blocks > 1`` runs that many blocks of ``timed_runs`` walls
+    back-to-back and reports the MEDIAN of block minima.  main() calls
+    this with ``blocks=1`` per block and interleaves the blocks with
+    thirds of the query suite (the r02 driver run regressed 19% with
+    EVERY query drifting slower — noise-shaped but unproven), so the
+    blocks genuinely spread across the multi-minute measurement window:
+    a transient load spike contaminates one block, not the median, and
+    the per-block loadavg probes localize it in the JSON."""
     from pyspark.sql import functions as F
 
     from html_parser_spark.plans.pipeline import PipelineConfig, extract_turns
@@ -205,22 +205,24 @@ def extraction_throughput(spark, input_dir: str, n_turns: int, timed_runs: int =
     return out
 
 
-def run_headline_queries(spark, sf_dir: str):
+QUERY_PICKS = [
+    "extract_main_text", "html_count_li", "html_node_count",
+    "tpch_pricing_summary", "join_region_revenue", "events_hourly",
+    "minhash_signatures", "simhash", "dedup_exact_stats",
+    "text_quality", "fingerprint", "ann_cosine_topk",
+    "lsh_candidate_pairs", "window_top_order",
+    "simhash_banded_pairs", "embedding_neardup", "pdf_extract",
+]
+
+
+def run_headline_queries(spark, sf_dir: str, picks=None):
     """Per-query wall times for the operator suite (forces execution
     via a noop sink)."""
     import __spark_entry__ as entrymod
 
-    picks = [
-        "extract_main_text", "html_count_li", "html_node_count",
-        "tpch_pricing_summary", "join_region_revenue", "events_hourly",
-        "minhash_signatures", "simhash", "dedup_exact_stats",
-        "text_quality", "fingerprint", "ann_cosine_topk",
-        "lsh_candidate_pairs", "window_top_order",
-        "simhash_banded_pairs", "embedding_neardup", "pdf_extract",
-    ]
     qs = entrymod.queries()
     times = {}
-    for name in picks:
+    for name in (picks if picks is not None else QUERY_PICKS):
         fn = qs[name]
         walls = []
         for _ in range(2):  # min-of-2: first run may pay page-cache misses
@@ -380,15 +382,35 @@ def main() -> None:
         suite_dir = os.path.join(tmp, "suite")
         n_suite = materialize_input(spark, SF_DIR, REPLICATE, suite_dir)
 
-        # Load probes bracketing the timed region: a loadavg well above
+        # Load probes bracketing the timed regions: a loadavg well above
         # this session's own core usage proves a contaminated run.
+        # Extraction blocks INTERLEAVE with thirds of the query suite so
+        # the block minima sample the whole multi-minute window — one
+        # transient spike contaminates one block, not the median.
         load_probes = {"before_suite": list(os.getloadavg())}
         t_suite0 = time.time()
-        ex = extraction_throughput(spark, suite_dir, n_suite,
-                                   timed_runs=HEADLINE_RUNS_PER_BLOCK,
-                                   blocks=HEADLINE_BLOCKS)
-        load_probes["after_extract"] = list(os.getloadavg())
-        qtimes = run_headline_queries(spark, SF_DIR)
+        import statistics
+
+        chunk = (len(QUERY_PICKS) + HEADLINE_BLOCKS - 1) // HEADLINE_BLOCKS
+        block_exs = []
+        qtimes = {}
+        for bi in range(HEADLINE_BLOCKS):
+            load_probes[f"before_block{bi}"] = list(os.getloadavg())
+            block_exs.append(extraction_throughput(
+                spark, suite_dir, n_suite,
+                timed_runs=HEADLINE_RUNS_PER_BLOCK,
+                warm_runs=1 if bi == 0 else 0, blocks=1))
+            qtimes.update(run_headline_queries(
+                spark, SF_DIR, QUERY_PICKS[bi * chunk:(bi + 1) * chunk]))
+        block_mins = [b["wall_sec"] for b in block_exs]
+        ex = dict(block_exs[0])
+        ex["walls_sec"] = [w for b in block_exs for w in b["walls_sec"]]
+        ex["block_mins_sec"] = block_mins
+        ex["wall_sec"] = round(statistics.median(block_mins), 3)
+        ex["turns_per_sec"] = round(n_suite / ex["wall_sec"], 1)
+        ex["estimator"] = (f"median of {HEADLINE_BLOCKS} block-minima "
+                           f"({HEADLINE_RUNS_PER_BLOCK} runs/block, blocks "
+                           f"interleaved with the query suite)")
         suite_wall = round(time.time() - t_suite0, 3)
         load_probes["after_suite"] = list(os.getloadavg())
 

@@ -120,11 +120,21 @@ def _iter_objects(data: bytes):
                 body = data[body_start:body_start + ln]
                 after = body_start + ln
         if body is None:
-            bm = _STREAM_BODY_RE.match(data, body_start)
+            # Scan fallback, bounded by this object's own `endobj` (the
+            # round-2 parser's behavior): an unterminated stream must
+            # not swallow the next object's body wholesale.
+            endpos = em if em != -1 else n
+            bm = _STREAM_BODY_RE.match(data, body_start, endpos)
             if bm is not None:
                 body = bm.group(1)
                 after = bm.end()
+            elif em != -1:
+                # no endstream before endobj: streamless object, resume
+                yield dict_part, None
+                pos = em + len(b"endobj")
+                continue
             else:
+                # no endstream and no endobj: runs to EOF (permissive)
                 yield dict_part, data[body_start:]
                 return
         yield dict_part, body

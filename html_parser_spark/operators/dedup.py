@@ -158,9 +158,11 @@ def dup_clusters(
     propagation distance per round.  Convergence is O(log diameter)
     (pointer doubling), not O(diameter): a 10^4-node chain converges in
     ~15 rounds instead of 10^4 (property-tested with a 10k star+chain
-    component in tests/test_dedup.py).  Per-round shuffle volume is
-    bounded by |E| + 2|V| rows regardless of component shape — a huge
-    boilerplate cluster costs rounds' join rows, never m² anything
+    component in tests/test_dedup_similarity.py).  Per-round shuffle
+    volume is O(|E| + |V|) rows regardless of component shape (the
+    ``stepped`` frame feeds both sides of the jump join — AQE exchange
+    reuse or a second co-partitioned pass, bounded either way) — a
+    huge boilerplate cluster costs rounds' join rows, never m² anything
     (pair *generation* is where hot buckets explode; cap them upstream,
     see module docstring).  ``localCheckpoint`` after every round
     truncates the lineage so the plan doesn't grow exponentially —
@@ -423,18 +425,26 @@ def embedding_lsh_signatures(
     key takes ``2^band_bits`` values and per-bucket cardinality is
     ``~n / 2^band_bits`` — the equi-join stays linear at 10^9 vectors.
 
-    ``dim`` (the fixed embedding dimensionality) is probed with one
-    deterministic ``max(size(...))`` aggregate job when not passed;
-    pass it explicitly in pipelines that know their schema.  Rows whose
-    vector is NULL or whose length differs from ``dim`` are EXCLUDED
-    from the signature table (a ragged vector can't hash into any
-    bucket honestly — zip_with NULL-padding would silently send every
-    malformed row to band key 0, pairing them all with each other).
-    Empty/all-NULL input returns an empty frame.
+    ``dim`` (the fixed embedding dimensionality) should be passed by
+    pipelines that know their data; when omitted it is probed with one
+    deterministic MODE-of-sizes aggregate job (the most common vector
+    length, ties to the smaller — a handful of corrupt oversized rows
+    can't hijack the probe the way a max() would, where one dim-1024
+    glitch row would silently exclude an entire dim-768 corpus).  Rows
+    whose vector is NULL or whose length differs from ``dim`` are
+    EXCLUDED from the signature table (a ragged vector can't hash into
+    any bucket honestly — zip_with NULL-padding would silently send
+    every malformed row to band key 0, pairing them all with each
+    other).  Empty/all-NULL input returns an empty frame.
     """
     v = F.col(vec_col).cast("array<double>")
     if dim is None:
-        probe = emb.select(F.max(F.size(v)).alias("d")).first()
+        probe = (
+            emb.where(F.col(vec_col).isNotNull())
+            .groupBy(F.size(v).alias("d")).count()
+            .orderBy(F.col("count").desc(), F.col("d").asc())
+            .first()
+        )
         if probe is None or probe["d"] is None or probe["d"] <= 0:
             return emb.select(
                 F.col(id_col).alias("id"),

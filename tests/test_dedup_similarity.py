@@ -409,6 +409,20 @@ def test_embedding_lsh_null_and_ragged_vectors(spark):
     assert embedding_lsh_signatures(allnull, bands=2, band_bits=4).count() == 0
 
 
+def test_embedding_lsh_dim_probe_is_mode_not_max(spark):
+    """Second-pass review finding: one corrupt OVERSIZED vector must
+    not hijack the dim probe (a max() probe would exclude the whole
+    well-formed corpus); the mode-of-sizes probe keeps the majority."""
+    from html_parser_spark.operators.dedup import embedding_lsh_signatures
+
+    rows = [(i, [float(i), 1.0, -1.0]) for i in range(10)]
+    rows.append((99, [9.0] * 1024))            # one corrupt dim-1024 row
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    sigs = embedding_lsh_signatures(emb, bands=2, band_bits=4)
+    ids = {r["id"] for r in sigs.collect()}
+    assert ids == set(range(10))               # majority kept, glitch excluded
+
+
 def test_kmeans_dim_robust_and_degenerate_inputs(spark):
     """Round-3: per-cell vector sums travel as ONE array<double> per
     (partition, cell) — works at dim 512 with no 512-wide aggregate;

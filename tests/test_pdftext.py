@@ -75,6 +75,18 @@ def test_bad_length_falls_back_to_endstream_scan():
     assert extract_pdf_text(pdf2).lines == ["C"]
 
 
+def test_unterminated_stream_does_not_swallow_next_object():
+    """Second-pass review finding: an object whose stream has no
+    endstream before its endobj must not scan past it and merge the
+    NEXT object's stream into its own body (the pre-round-3 parser
+    recovered the second object; the bounded scan preserves that)."""
+    pdf = (b"1 0 obj\n<< >>\nstream\nAAA\nendobj\n"
+           b"2 0 obj\n<< >>\nstream\nBT 72 700 Td (OK) Tj ET\nendstream\nendobj\n")
+    r = extract_pdf_text(pdf)
+    assert r.lines == ["OK"]
+    assert r.n_objects == 2 and r.n_streams == 1
+
+
 def test_indirect_length_reference_is_not_a_byte_count():
     """Review finding: '/Length 3 0 R' is an indirect object reference
     — its object number must not be used as the stream length (and the

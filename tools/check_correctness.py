@@ -34,8 +34,13 @@ def canon(rows, cols):
 
     Cross-engine NULL/bool canonicalization (round-3 advice): DuckDB's
     ``.df()`` pandas path renders a numeric NULL as float NaN while
-    Spark yields Python None — both map to the ``('null', '')`` tag
-    (the driver's comparison treats them as the same missing value).
+    Spark yields Python None — both map to the ``('null', '')`` tag.
+    Caveat this knowingly accepts: a GENUINE computed NaN also lands on
+    that tag, so a real NaN-vs-NULL divergence would pass this gate —
+    unavoidable, because the oracle side cannot distinguish NULL from
+    NaN at all on the pandas path.  The working invariant is therefore
+    that queries never emit NaN-capable expressions (guard divisions
+    with ``when(denom > 0, ...)``, as the existing queries do).
     Likewise numpy ``bool_`` (pandas path) tags ``('bool', ...)`` like
     Python ``bool`` instead of falling through to ``str``.
     """
