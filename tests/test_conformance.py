@@ -36,11 +36,12 @@ FLOORS = {
     "tests_raw_foreign.dat": (11, 19),
     "tests_rawtext_doctype.dat": (16, 21),
     "tests_structure2.dat": (14, 20),
+    "tests_structure3.dat": (27, 28),
     "tests_tables.dat": (11, 14),
     "tests_template.dat": (18, 18),
     "wpt_html5lib_vendored.html": (19, 27),
 }
-TOTAL_FLOOR = 196
+TOTAL_FLOOR = 223
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
