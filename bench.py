@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -138,19 +139,19 @@ def materialize_input(spark, sf_dir: str, replicate: int, out_dir: str) -> int:
 
 
 def extraction_throughput(spark, input_dir: str, n_turns: int, timed_runs: int = 1,
-                          warm_runs: int = 1, blocks: int = 1):
+                          warm_runs: int = 1):
     """Turns/sec of the production-shaped extraction job: parquet scan
     → map-only kernel (no input shuffle — see plans/pipeline.py) →
     aggregate.  No disk sink; count + checksum force full computation.
 
-    ``blocks > 1`` runs that many blocks of ``timed_runs`` walls
-    back-to-back and reports the MEDIAN of block minima.  main() calls
-    this with ``blocks=1`` per block and interleaves the blocks with
-    thirds of the query suite (the r02 driver run regressed 19% with
-    EVERY query drifting slower — noise-shaped but unproven), so the
-    blocks genuinely spread across the multi-minute measurement window:
-    a transient load spike contaminates one block, not the median, and
-    the per-block loadavg probes localize it in the JSON."""
+    Reports the MIN of ``timed_runs`` walls (one measurement block).
+    The headline protocol lives in main(): it calls this once per
+    block and interleaves the blocks with thirds of the query suite
+    (the r02 driver run regressed 19% with EVERY query drifting slower
+    — noise-shaped but unproven), so the block minima genuinely spread
+    across the multi-minute window and the median of them resists a
+    transient load spike, with per-block loadavg probes localizing any
+    contamination in the JSON."""
     from pyspark.sql import functions as F
 
     from html_parser_spark.plans.pipeline import PipelineConfig, extract_turns
@@ -174,35 +175,24 @@ def extraction_throughput(spark, input_dir: str, n_turns: int, timed_runs: int =
     for _ in range(warm_runs):
         run_once()
 
-    # Per block: min of `timed_runs` repeats (the minimum wall is the
-    # least-contaminated observation); across blocks: median of minima.
-    block_mins = []
-    all_walls = []
+    # Min of `timed_runs` repeats: the minimum wall is the
+    # least-contaminated observation of the job's true cost.
+    walls = []
     agg = None
-    for _ in range(blocks):
-        walls = []
-        for _ in range(timed_runs):
-            t0 = time.time()
-            agg = run_once()
-            walls.append(time.time() - t0)
-        all_walls.extend(walls)
-        block_mins.append(min(walls))
-    import statistics
-
-    wall = statistics.median(block_mins)
+    for _ in range(timed_runs):
+        t0 = time.time()
+        agg = run_once()
+        walls.append(time.time() - t0)
+    wall = min(walls)
     assert agg["n"] == n_turns, (agg["n"], n_turns)
-    out = {
+    return {
         "turns": n_turns,
         "wall_sec": round(wall, 3),
-        "walls_sec": [round(w, 3) for w in all_walls],
+        "walls_sec": [round(w, 3) for w in walls],
         "turns_per_sec": round(n_turns / wall, 1),
         "mb_out": round(agg["chars"] / 1e6, 1),
         "nodes": int(agg["nodes"]),
     }
-    if blocks > 1:
-        out["block_mins_sec"] = [round(w, 3) for w in block_mins]
-        out["estimator"] = f"median of {blocks} block-minima ({timed_runs} runs/block)"
-    return out
 
 
 QUERY_PICKS = [
@@ -232,6 +222,36 @@ def run_headline_queries(spark, sf_dir: str, picks=None):
             walls.append(time.time() - t0)
         times[name] = round(min(walls), 3)
     return times
+
+
+def run_interleaved_suite(spark, suite_dir: str, n_suite: int, load_probes: dict):
+    """The headline protocol: HEADLINE_BLOCKS extraction blocks
+    interleaved with thirds of the query suite so the block minima
+    sample the whole multi-minute window — one transient load spike
+    contaminates one block, not the median.  Returns (extract stats
+    with the block-median headline, per-query times); per-block loadavg
+    probes are appended to ``load_probes``."""
+    chunk = (len(QUERY_PICKS) + HEADLINE_BLOCKS - 1) // HEADLINE_BLOCKS
+    block_exs = []
+    qtimes = {}
+    for bi in range(HEADLINE_BLOCKS):
+        load_probes[f"before_block{bi}"] = list(os.getloadavg())
+        block_exs.append(extraction_throughput(
+            spark, suite_dir, n_suite,
+            timed_runs=HEADLINE_RUNS_PER_BLOCK,
+            warm_runs=1 if bi == 0 else 0))
+        qtimes.update(run_headline_queries(
+            spark, SF_DIR, QUERY_PICKS[bi * chunk:(bi + 1) * chunk]))
+    block_mins = [b["wall_sec"] for b in block_exs]
+    ex = dict(block_exs[0])
+    ex["walls_sec"] = [w for b in block_exs for w in b["walls_sec"]]
+    ex["block_mins_sec"] = block_mins
+    ex["wall_sec"] = round(statistics.median(block_mins), 3)
+    ex["turns_per_sec"] = round(n_suite / ex["wall_sec"], 1)
+    ex["estimator"] = (f"median of {HEADLINE_BLOCKS} block-minima "
+                       f"({HEADLINE_RUNS_PER_BLOCK} runs/block, blocks "
+                       f"interleaved with the query suite)")
+    return ex, qtimes
 
 
 def child_main(n_executors: int, input_dir: str, n_turns: int) -> None:
@@ -384,33 +404,9 @@ def main() -> None:
 
         # Load probes bracketing the timed regions: a loadavg well above
         # this session's own core usage proves a contaminated run.
-        # Extraction blocks INTERLEAVE with thirds of the query suite so
-        # the block minima sample the whole multi-minute window — one
-        # transient spike contaminates one block, not the median.
         load_probes = {"before_suite": list(os.getloadavg())}
         t_suite0 = time.time()
-        import statistics
-
-        chunk = (len(QUERY_PICKS) + HEADLINE_BLOCKS - 1) // HEADLINE_BLOCKS
-        block_exs = []
-        qtimes = {}
-        for bi in range(HEADLINE_BLOCKS):
-            load_probes[f"before_block{bi}"] = list(os.getloadavg())
-            block_exs.append(extraction_throughput(
-                spark, suite_dir, n_suite,
-                timed_runs=HEADLINE_RUNS_PER_BLOCK,
-                warm_runs=1 if bi == 0 else 0, blocks=1))
-            qtimes.update(run_headline_queries(
-                spark, SF_DIR, QUERY_PICKS[bi * chunk:(bi + 1) * chunk]))
-        block_mins = [b["wall_sec"] for b in block_exs]
-        ex = dict(block_exs[0])
-        ex["walls_sec"] = [w for b in block_exs for w in b["walls_sec"]]
-        ex["block_mins_sec"] = block_mins
-        ex["wall_sec"] = round(statistics.median(block_mins), 3)
-        ex["turns_per_sec"] = round(n_suite / ex["wall_sec"], 1)
-        ex["estimator"] = (f"median of {HEADLINE_BLOCKS} block-minima "
-                           f"({HEADLINE_RUNS_PER_BLOCK} runs/block, blocks "
-                           f"interleaved with the query suite)")
+        ex, qtimes = run_interleaved_suite(spark, suite_dir, n_suite, load_probes)
         suite_wall = round(time.time() - t_suite0, 3)
         load_probes["after_suite"] = list(os.getloadavg())
 

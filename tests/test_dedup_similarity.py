@@ -14,6 +14,17 @@ from html_parser_spark.operators.similarity import (
 from html_parser_spark.operators.textstats import STOPWORDS, lang_id
 
 
+def md5_vec(seed: str, dim: int = 16):
+    """Deterministic pseudo-random vector in [-1, 1) from md5 — shared
+    by the embedding-LSH and k-means tests."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:4], 16) / 32768.0) - 1.0
+        for i in range(dim)
+    ]
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     base = [
@@ -133,17 +144,9 @@ def test_embedding_neardup_banded_lsh(spark):
     )
 
     # planted near-identical pair (0, 1) among deterministic pseudo-random vectors
-    import hashlib
-
-    def vec(seed, dim=16):
-        return [
-            (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:4], 16) / 32768.0) - 1.0
-            for i in range(dim)
-        ]
-
-    base = vec("a")
+    base = md5_vec("a")
     rows = [(0, base), (1, [x * 1.01 + 0.001 for x in base])] + [
-        (i, vec(f"r{i}")) for i in range(2, 40)
+        (i, md5_vec(f"r{i}")) for i in range(2, 40)
     ]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
 
@@ -311,9 +314,7 @@ def test_dup_clusters_large_star_chain_component(spark):
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(8)
     labels = dup_clusters(pairs, max_iter=15)  # ~log2(1000)+const rounds needed
     assert labels.count() == n_star + n_chain + 1
-    assert labels.select("cluster_id").distinct().collect() == [
-        labels.sparkSession.createDataFrame([(0,)], ["cluster_id"]).collect()[0]
-    ]
+    assert {r["cluster_id"] for r in labels.select("cluster_id").distinct().collect()} == {0}
 
 
 def test_banded_join_hot_bucket_cap(spark):
@@ -433,15 +434,7 @@ def test_kmeans_dim_robust_and_degenerate_inputs(spark):
         build_ivf_index, kmeans_centroids,
     )
 
-    import hashlib
-
-    def vec(seed, dim=512):
-        return [
-            (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:4], 16) / 32768.0) - 1.0
-            for i in range(dim)
-        ]
-
-    rows = [(i, vec(f"v{i}")) for i in range(24)]
+    rows = [(i, md5_vec(f"v{i}", dim=512)) for i in range(24)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
     cents = kmeans_centroids(emb, num_cells=4, iters=2)
     assert len(cents) == 4 and all(len(c[1]) == 512 for c in cents)
