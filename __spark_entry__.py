@@ -502,6 +502,31 @@ def q_normalize_text(spark, sf_dir):
     return normalize_text(d).select("doc_id", "norm_text")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-line fraction + the
+    share of the most frequent word bigram (with multiplicity)."""
+    from html_parser_spark.operators.textstats import repetition_stats
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    return repetition_stats(d, ngram_n=2)
+
+
+def q_contamination_check(spark, sf_dir):
+    """Train/test decontamination sweep: the 'benchmark' is the 12-word
+    prefix of docs 400-449 (an eval set drawn from the corpus), so
+    those docs — and any near-dups sharing an 8-gram with their
+    prefixes — flag as contaminated.  Benchmark side broadcast."""
+    from html_parser_spark.operators.textstats import contamination_check
+
+    d = _docs(spark, sf_dir)
+    corpus = d.where(F.col("doc_id") < 450)
+    bench = (
+        d.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 450))
+        .select(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12)).alias("text"))
+    )
+    return contamination_check(corpus, bench, ngram_n=8, min_hits=1)
+
+
 def q_top_ngrams(spark, sf_dir):
     from html_parser_spark.operators.textstats import top_ngrams
 
@@ -668,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "curate_corpus": q_curate_corpus,
         "top_ngrams": q_top_ngrams,
+        "repetition_stats": q_repetition_stats,
+        "contamination_check": q_contamination_check,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -779,15 +806,17 @@ def _lang_id_oracle_sql() -> str:
     """
 
 
-def _shingles_sql(n: int, src: str = "text") -> str:
-    """DuckDB expression: distinct word n-gram list with [text] fallback."""
+def _shingles_sql(n: int, src: str = "text", distinct: bool = True) -> str:
+    """DuckDB expression: word n-gram list with [text] fallback
+    (``distinct=False`` keeps multiplicity, for frequency stats)."""
     w = f"string_split({src}, ' ')"
     joined = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
-    return (
-        f"list_distinct(case when len({w}) - {n - 1} > 0 then "
+    inner = (
+        f"case when len({w}) - {n - 1} > 0 then "
         f"list_transform(generate_series(1, len({w}) - {n - 1}), i -> {joined}) "
-        f"else [{src}] end)"
+        f"else [{src}] end"
     )
+    return f"list_distinct({inner})" if distinct else inner
 
 
 def _lsh_pairs_cte_sql(max_id: int = 500, num_hashes: int = 8, rows_per_band: int = 2) -> str:
@@ -1196,6 +1225,47 @@ def oracle_sql() -> dict[str, str]:
             group by ngram
             order by doc_freq desc, ngram asc
             limit 20
+        """,
+        "repetition_stats": f"""
+            with base as (
+                select doc_id as id,
+                       cast(len(string_split(text, chr(10))) as bigint) as n_lines,
+                       floor((1.0 - len(list_distinct(string_split(text, chr(10))))
+                              / cast(len(string_split(text, chr(10))) as double)) * 10000)
+                           / 10000 as dup_line_frac
+                from documents where doc_id < 300
+            ), grams as (
+                select doc_id as id, unnest({_shingles_sql(2, distinct=False)}) as g
+                from documents where doc_id < 300
+            ), pg as (
+                select id, g, count(*) as c from grams group by id, g
+            ), share as (
+                select id,
+                       floor(cast(max(c) as double) / sum(c) * 10000) / 10000
+                           as top_ngram_share
+                from pg group by id
+            )
+            select base.id, base.n_lines, base.dup_line_frac, share.top_ngram_share
+            from base join share on share.id = base.id
+        """,
+        "contamination_check": f"""
+            with bench as (
+                select array_to_string(string_split(text, ' ')[1:12], ' ') as text
+                from documents where doc_id >= 400 and doc_id < 450
+            ), bg as (
+                select distinct unnest({_shingles_sql(8)}) as g from bench
+            ), cg as (
+                select doc_id as id, unnest({_shingles_sql(8)}) as g
+                from documents where doc_id < 450
+            ), hits as (
+                select cg.id, count(distinct cg.g) as n_hits
+                from cg join bg on cg.g = bg.g group by cg.id
+            )
+            select d.doc_id as id,
+                   cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+                   coalesce(h.n_hits, 0) >= 1 as contaminated
+            from (select doc_id from documents where doc_id < 450) d
+            left join hits h on h.id = d.doc_id
         """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,

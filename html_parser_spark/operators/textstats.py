@@ -170,3 +170,92 @@ def top_ngrams(
         .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: (id, n_lines,
+    dup_line_frac, top_ngram_share).
+
+    * ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line (1 - distinct/total), the classic boilerplate /
+      degenerate-generation signal; pure array expressions.
+    * ``top_ngram_share`` — share of the document's word n-grams taken
+      by its single most frequent n-gram (counted with multiplicity);
+      high values flag loops/templates.  Explode → two partial-agg
+      shuffles keyed (id, gram) then id — linear at any corpus size,
+      no skew (keys carry the doc id).
+
+    Ratios are floor-quantized to 4 decimals (engine-portable — see
+    quality_score on why floor, not round).
+    """
+    from .dedup import word_shingles
+
+    lines = F.split(F.col(text_col), "\n")
+    dup_frac = F.floor(
+        (F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)) * 10000
+    ) / 10000
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        dup_frac.alias("dup_line_frac"),
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, ngram_n)).alias("g"),
+    )
+    per_gram = grams.groupBy("id", "g").agg(F.count("*").alias("c"))
+    share = (
+        per_gram.groupBy("id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .select("id", (F.floor(F.col("mx") / F.col("tot") * 10000) / 10000).alias("top_ngram_share"))
+    )
+    return base.join(share, "id")
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram_n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection: for every corpus document,
+    count the distinct word ``ngram_n``-grams it shares with ANY
+    benchmark document — the standard train/test decontamination sweep
+    of a pretraining pipeline.  Returns (id, n_hits, contaminated).
+
+    Scale shape: the benchmark side collapses to a distinct n-gram set
+    and is broadcast (``broadcast_benchmark=True``, the normal case —
+    eval sets are tiny next to a training corpus), so the check is a
+    map-side hash semi-join on the exploded corpus: no corpus shuffle
+    except the per-doc hit count, which keys on the doc id.  For a huge
+    "benchmark" set pass False and let AQE pick the join.
+    """
+    from .dedup import word_shingles
+
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(text_col, ngram_n))).alias("g"),
+    )
+    b = benchmark.select(
+        F.explode(F.array_distinct(word_shingles(text_col, ngram_n))).alias("g")
+    ).distinct()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    hits = c.join(b, "g").groupBy("id").agg(F.count_distinct("g").alias("n_hits"))
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

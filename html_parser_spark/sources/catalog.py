@@ -115,10 +115,11 @@ def read_transcripts(spark: SparkSession, src: str, fmt: str = "parquet") -> Dat
     with the schema ENFORCED (never inferred — schema drift in a
     100 TB ingest should fail loudly at the scan, not silently retype
     a column).  ``fmt``: parquet (default, also Iceberg idents via
-    :func:`read_table`) | json (newline-delimited) | csv (with header).
+    :func:`read_table`) | orc | json (newline-delimited) | csv (with
+    header).
     """
-    if fmt == "parquet":
-        df = read_table(spark, src)
+    if fmt in ("parquet", "orc"):
+        df = read_table(spark, src) if fmt == "parquet" else spark.read.orc(src)
         # project + cast to the canonical schema (order + types)
         names = [c.split()[0] for c in TRANSCRIPT_DDL.split(",")]
         types = [c.split()[1] for c in TRANSCRIPT_DDL.split(",")]

@@ -153,16 +153,19 @@ def test_read_transcripts_all_formats_agree(spark, sf_dir, tmp_path):
     t = transcripts_from_documents(spark, sf_dir, n_convs=10).drop(
         "doc_id", "expected_main_text").limit(200).cache()
     t.write.mode("overwrite").parquet(str(tmp_path / "p"))
+    t.write.mode("overwrite").orc(str(tmp_path / "o"))
     t.write.mode("overwrite").json(str(tmp_path / "j"))
     (t.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
       .write.mode("overwrite").option("header", "true").csv(str(tmp_path / "c")))
 
     p = read_transcripts(spark, str(tmp_path / "p"))
+    o = read_transcripts(spark, str(tmp_path / "o"), fmt="orc")
     j = read_transcripts(spark, str(tmp_path / "j"), fmt="json")
     c = read_transcripts(spark, str(tmp_path / "c"), fmt="csv")
-    for df in (p, j, c):
+    for df in (o, j, c):
         assert [f.simpleString() for f in df.schema.fields] == \
                [f.simpleString() for f in p.schema.fields]
+    assert p.exceptAll(o).count() == 0 and o.exceptAll(p).count() == 0
     assert p.exceptAll(j).count() == 0 and j.exceptAll(p).count() == 0
     assert p.exceptAll(c).count() == 0 and c.exceptAll(p).count() == 0
 

@@ -184,6 +184,43 @@ def test_ivf_kmeans_strategy(spark, sf_dir):
     assert indexed.groupBy("cell").count().count() >= 2
 
 
+def test_repetition_stats(spark):
+    from html_parser_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (0, "a normal short document with distinct words only here"),
+        (1, "line one\nline two\nline one\nline one"),       # 2/4 lines dupes
+        (2, "spam spam spam spam spam and more spam spam"),  # loop-y bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r for r in repetition_stats(df).collect()}
+    assert got[0]["n_lines"] == 1 and got[0]["dup_line_frac"] == 0.0
+    assert got[1]["n_lines"] == 4 and got[1]["dup_line_frac"] == 0.5
+    # doc 2: 9 words -> 8 bigrams, "spam spam" appears 5x -> 5/8
+    assert got[2]["top_ngram_share"] == 0.625
+    assert got[0]["top_ngram_share"] < 0.2
+
+
+def test_contamination_check(spark):
+    from html_parser_spark.operators.textstats import contamination_check
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame([
+        (0, "prefix words then the quick brown fox jumps over the lazy dog tonight and more"),
+        (1, "a completely unrelated document about cooking pasta with many fresh tomatoes today"),
+    ], ["doc_id", "text"])
+    got = {r["id"]: r for r in contamination_check(corpus, bench, ngram_n=8).collect()}
+    assert got[0]["contaminated"] and got[0]["n_hits"] >= 1
+    assert not got[1]["contaminated"] and got[1]["n_hits"] == 0
+    # min_hits raises the bar
+    strict = {r["id"]: r["contaminated"]
+              for r in contamination_check(corpus, bench, ngram_n=8,
+                                           min_hits=100).collect()}
+    assert strict == {0: False, 1: False}
+
+
 def test_lang_id_heuristic(spark, corpus):
     out = {r["doc_id"]: r["lang_pred"] for r in lang_id(corpus).collect()}
     assert out[0] == "en"
