@@ -93,6 +93,19 @@ CHECKS = {
         and "BroadcastNestedLoopJoin" not in p,
         "partial_agg": lambda p: "HashAggregate" in p,
     },
+    "contamination_check": {
+        # benchmark n-gram set must broadcast — a shuffle join here
+        # would reshuffle the exploded corpus at 10^9+ docs
+        "broadcast_join": lambda p: "BroadcastHashJoin" in p,
+        "partial_agg": lambda p: "HashAggregate" in p,
+        "pushed_filter": lambda p: re.search(r"PushedFilters:[^\n]*doc_id", p),
+    },
+    "repetition_stats": {
+        "partial_agg": lambda p: "HashAggregate" in p,
+        "pushed_filter": lambda p: re.search(r"PushedFilters:[^\n]*doc_id", p),
+        "no_cartesian": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    },
     "pdf_extract": {
         "no_exchange_before_kernel": lambda p: _no_exchange_before_arrow(p),
         "arrow_eval": lambda p: "ArrowEvalPython" in p,
