@@ -639,6 +639,34 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(assets).select("asset_id", "kind", "n_bytes", "content_hash", "width", "height")
 
 
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL stdlib image decode under the value gate: 64 synthesized P6
+    PPMs whose pixel bytes are ASCII (repeated md5 hexdigest), decoded
+    by the actual PPM parser (use_real_codec=True).  The oracle
+    reconstructs the identical payload character-for-character in SQL
+    and derives width/height/hash plus the digit-bin histogram share in
+    closed form."""
+    from html_parser_spark.operators.multimodal import extract_features
+
+    assets = spark.range(64).selectExpr(
+        "id as asset_id",
+        "'image' as kind",
+        "cast(concat('P6', chr(10), cast(id % 5 + 4 as string), ' ', "
+        "  cast(id % 4 + 3 as string), chr(10), '255', chr(10), "
+        "  substr(repeat(md5(cast(id as string)), "
+        "         cast(ceil((id % 5 + 4) * (id % 4 + 3) * 3 / 32.0) + 1 as int)), "
+        "         1, cast((id % 5 + 4) * (id % 4 + 3) * 3 as int))) as binary) as payload",
+        "map('src', concat('synth://', cast(id as string))) as meta",
+    )
+    feats = extract_features(assets, use_real_codec=True)
+    # bin 3 of the 16-bin histogram = ASCII '0'-'9' (0x30-0x39): the
+    # digit share of the hexdigest pixels, a closed-form SQL quantity
+    return feats.select(
+        "asset_id", "n_bytes", "content_hash", "width", "height",
+        F.round(F.element_at("histogram", 4), 6).alias("digit_share"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -695,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "repetition_stats": q_repetition_stats,
         "contamination_check": q_contamination_check,
+        "multimodal_real_decode": q_multimodal_real_decode,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1266,6 +1295,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) >= 1 as contaminated
             from (select doc_id from documents where doc_id < 450) d
             left join hits h on h.id = d.doc_id
+        """,
+        "multimodal_real_decode": """
+            with a as (
+                select i as asset_id, (i % 5 + 4) as w, (i % 4 + 3) as h
+                from (select unnest(generate_series(0, 63)) as i)
+            ), b as (
+                select asset_id, w, h, w * h * 3 as np from a
+            ), c as (
+                select asset_id, w, h, np,
+                       substr(repeat(md5(cast(asset_id as varchar)),
+                                     cast(ceil(np / 32.0) + 1 as int)), 1, np) as pix
+                from b
+            )
+            select asset_id,
+                   cast(strlen(concat('P6', chr(10), cast(w as varchar), ' ',
+                        cast(h as varchar), chr(10), '255', chr(10), pix)) as bigint)
+                       as n_bytes,
+                   md5(concat('P6', chr(10), cast(w as varchar), ' ',
+                        cast(h as varchar), chr(10), '255', chr(10), pix))
+                       as content_hash,
+                   w as width, h as height,
+                   round(cast(len(regexp_replace(pix, '[^0-9]', '', 'g')) as double)
+                         / np, 6) as digit_share
+            from c
         """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,

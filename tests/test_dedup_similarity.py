@@ -245,7 +245,54 @@ def test_multimodal_feature_plumbing(spark):
     again = {r["asset_id"]: r["content_hash"] for r in extract_features(assets).collect()}
     assert again == {r["asset_id"]: r["content_hash"] for r in rows}
     with pytest.raises(NotImplementedError):
-        decode_real(b"bytes", "image")
+        decode_real(b"bytes", "image")          # unknown magic still raises
+
+
+def test_multimodal_real_stdlib_decoders(spark):
+    """Round-3: decode_real REALLY decodes PPM/PGM, 24bpp BMP, and PCM
+    WAV with stdlib only; undecodable payloads yield NULL features (not
+    a task failure) through the Spark path."""
+    from html_parser_spark.operators.multimodal import (
+        ASSET_SCHEMA, decode_real, extract_features, synth_bmp, synth_ppm,
+        synth_wav,
+    )
+
+    # PPM: dims from the synth formula; histogram = digit/letter bins only
+    w, h, hist = decode_real(synth_ppm(5), "image")
+    assert (w, h) == (4 + 5 % 5, 3 + 5 % 4)
+    assert abs(sum(hist) - 1.0) < 1e-3
+    assert hist[3] + hist[6] > 0.999          # ASCII hexdigest pixels
+    # PGM variant with a comment line
+    pgm = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+    assert decode_real(pgm, "image")[:2] == (3, 2)
+
+    # BMP: padded bottom-up rows, padding excluded from the histogram
+    w, h, hist = decode_real(synth_bmp(7), "image")
+    assert (w, h) == (2 + 7 % 4, 2 + 7 % 3)
+    assert abs(sum(hist) - 1.0) < 1e-3
+
+    # WAV: width=rate, height=channels
+    rate, ch, hist = decode_real(synth_wav(3), "audio")
+    assert (rate, ch) == (8000, 1)
+    assert abs(sum(hist) - 1.0) < 1e-3
+
+    # Spark path: mixed decodable + junk payloads → junk gets NULL dims
+    rows = [
+        (0, "image", bytearray(synth_ppm(0)), None),
+        (1, "image", bytearray(synth_bmp(1)), None),
+        (2, "audio", bytearray(synth_wav(2)), None),
+        (3, "image", bytearray(b"\x89PNG not actually decodable"), None),
+        (4, "image", bytearray(b"P6\n9 9\n255\nshort"), None),  # truncated
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in
+           extract_features(assets, use_real_codec=True).collect()}
+    assert got[0]["width"] == 4 and got[0]["height"] == 3
+    assert got[1]["width"] == 3 and got[1]["height"] == 3
+    assert got[2]["width"] == 8000 and got[2]["height"] == 1
+    for bad in (3, 4):
+        assert got[bad]["width"] is None and got[bad]["histogram"] is None
+        assert got[bad]["n_bytes"] > 0 and got[bad]["content_hash"]
 
 
 def test_normalize_text(spark):
