@@ -18,6 +18,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -117,6 +118,87 @@ def _decode_bmp(payload: bytes):
     return width, height, _byte_histogram(bytes(pixels))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Reverse the per-scanline filters (None/Sub/Up/Average/Paeth —
+    PNG spec §9) over the decompressed IDAT stream."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        if len(line) < stride:
+            raise ValueError("truncated PNG scanline")
+        pos += 1 + stride
+        if ft == 1:    # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _decode_png(payload: bytes):
+    """Real PNG decode, stdlib only (zlib inflate + filter
+    reconstruction): 8-bit depth, color types gray/RGB/gray-alpha/RGBA,
+    no interlace.  Returns (width, height, histogram over the
+    reconstructed pixel bytes)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    width = height = None
+    channels = None
+    idat = bytearray()
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth {depth} / color type {color} beyond the "
+                    "stdlib decoder (8-bit gray/RGB/GA/RGBA only)")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    pixels = _png_unfilter(raw, width, height, channels)
+    return width, height, _byte_histogram(pixels)
+
+
 def _decode_wav(payload: bytes):
     """PCM WAV via the stdlib ``wave`` module.  'width' = sample rate,
     'height' = channel count; histogram over the raw PCM byte stream."""
@@ -126,19 +208,23 @@ def _decode_wav(payload: bytes):
 
 
 def decode_real(payload: bytes, kind: str):
-    """Stdlib-only real decode: PPM/PGM, 24bpp BMP, PCM WAV.  Returns
+    """Stdlib-only real decode: PPM/PGM, 24bpp BMP, 8-bit PNG
+    (zlib inflate + filter reconstruction), PCM WAV.  Returns
     (width, height, 16-bin histogram); raises NotImplementedError for
-    formats that need external codecs (JPEG/PNG/MP3/H.264/...)."""
+    transform-coded formats (JPEG/MP3/H.264/...)."""
     magic = payload[:4]
     if magic[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
     if magic[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if magic == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise NotImplementedError(
-        f"no stdlib decoder for payload magic {magic!r}; compressed formats "
-        "(JPEG/PNG/MP3/H.264) need external codecs this container doesn't ship"
+        f"no stdlib decoder for payload magic {magic!r}; transform-coded "
+        "formats (JPEG/MP3/H.264) need external codecs this container "
+        "doesn't ship"
     )
 
 
@@ -216,6 +302,53 @@ def synth_bmp(asset_id: int) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_offset)
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
     return header + dib + bytes(pix)
+
+
+def synth_png(asset_id: int, color: int = 2, filter_type: int = 0) -> bytes:
+    """Deterministic 8-bit PNG with every scanline forward-filtered
+    with ``filter_type`` (0-4) — exercises the decoder's filter
+    reconstruction for real."""
+    w = 3 + asset_id % 5
+    h = 2 + asset_id % 4
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    pixels = bytes((asset_id * 13 + i) % 256 for i in range(stride * h))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        line = pixels[r * stride:(r + 1) * stride]
+        raw.append(filter_type)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if filter_type == 0:
+                v = line[i]
+            elif filter_type == 1:
+                v = line[i] - left
+            elif filter_type == 2:
+                v = line[i] - up
+            elif filter_type == 3:
+                v = line[i] - ((left + up) >> 1)
+            else:
+                v = line[i] - paeth(left, up, ul)
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
 
 
 def synth_wav(asset_id: int) -> bytes:

@@ -276,6 +276,27 @@ def test_multimodal_real_stdlib_decoders(spark):
     assert (rate, ch) == (8000, 1)
     assert abs(sum(hist) - 1.0) < 1e-3
 
+    # PNG: all five filter types and all four color types must
+    # reconstruct the SAME pixels (identical histogram), proving the
+    # filter reconstruction is real, not pass-through
+    from html_parser_spark.operators.multimodal import synth_png
+
+    for color in (0, 2, 4, 6):
+        base = decode_real(synth_png(9, color=color, filter_type=0), "image")
+        assert base[0] == 3 + 9 % 5 and base[1] == 2 + 9 % 4
+        for ft in (1, 2, 3, 4):
+            got = decode_real(synth_png(9, color=color, filter_type=ft), "image")
+            assert got == base, (color, ft)
+    # interlaced / 16-bit PNGs are declared out of scope, not mis-decoded
+    import struct as _s
+    import zlib as _z
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+           + _s.pack(">I", _z.crc32(b"IHDR" + ihdr)))
+    with pytest.raises(NotImplementedError):
+        decode_real(bad, "image")
+
     # Spark path: mixed decodable + junk payloads → junk gets NULL dims
     rows = [
         (0, "image", bytearray(synth_ppm(0)), None),
