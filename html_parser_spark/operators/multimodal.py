@@ -49,11 +49,16 @@ FEATURE_SCHEMA = StructType([
 
 def _byte_histogram(data: bytes):
     """16-bin normalized histogram over a decoded byte stream (pixel
-    bytes / PCM sample bytes), round 6 — same shape as fake_decode."""
+    bytes / PCM sample bytes), round 6 — same shape as fake_decode.
+    Counting runs through collections.Counter (C-accelerated), not a
+    per-byte Python loop: a 10 MB payload is one C pass, not 10^7
+    interpreter iterations inside the extraction kernel."""
+    from collections import Counter
+
     hist = [0.0] * 16
     if data:
-        for b in data:
-            hist[b >> 4] += 1.0
+        for byte, c in Counter(data).items():
+            hist[byte >> 4] += c
         total = float(len(data))
         hist = [round(c / total, 6) for c in hist]
     return hist
@@ -105,6 +110,11 @@ def _decode_bmp(payload: bytes):
         raise NotImplementedError(
             f"only 24bpp uncompressed BMP is stdlib-decodable (got bpp={bpp}, "
             f"compression={compression})")
+    # a malformed header must raise (→ NULL features upstream), not
+    # return garbage dimensions: negative/zero width, zero height, or
+    # dims the payload can't possibly hold
+    if width <= 0 or height == 0 or abs(width) > 1 << 20 or abs(height) > 1 << 20:
+        raise ValueError(f"implausible BMP dimensions {width}x{height}")
     height = abs(height)
     row_bytes = width * 3
     stride = (row_bytes + 3) & ~3
@@ -194,7 +204,15 @@ def _decode_png(payload: bytes):
             break
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    if width <= 0 or height <= 0 or width > 1 << 20 or height > 1 << 20:
+        raise ValueError(f"implausible PNG dimensions {width}x{height}")
+    # Bounded inflate: a zlib bomb in IDAT must not allocate beyond what
+    # the declared dimensions can hold (the NULL-features contract means
+    # a crafted payload gets caught, never OOM-kills the executor).
+    expected = height * (width * channels + 1)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected)
+    if len(raw) < expected:
+        raise ValueError("truncated PNG pixel stream")
     pixels = _png_unfilter(raw, width, height, channels)
     return width, height, _byte_histogram(pixels)
 

@@ -297,6 +297,25 @@ def test_multimodal_real_stdlib_decoders(spark):
     with pytest.raises(NotImplementedError):
         decode_real(bad, "image")
 
+    # zlib bomb: tiny IDAT inflating to 10 MB with 2x2 declared dims
+    # must decode bounded (only the declared pixels are inflated)
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data)))
+    bomb_ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bomb_ihdr)
+            + chunk(b"IDAT", _z.compress(bytes(10_000_000)))
+            + chunk(b"IEND", b""))
+    w, h, hist = decode_real(bomb, "image")
+    assert (w, h) == (2, 2) and hist[0] == 1.0   # zeros, bounded inflate
+
+    # malformed BMP header (negative width) raises -> NULL features,
+    # not garbage dimensions
+    bad_bmp = bytearray(synth_bmp(1))
+    _s.pack_into("<i", bad_bmp, 18, -5)
+    with pytest.raises(ValueError):
+        decode_real(bytes(bad_bmp), "image")
+
     # Spark path: mixed decodable + junk payloads → junk gets NULL dims
     rows = [
         (0, "image", bytearray(synth_ppm(0)), None),

@@ -95,8 +95,12 @@ CHECKS = {
     },
     "contamination_check": {
         # benchmark n-gram set must broadcast — a shuffle join here
-        # would reshuffle the exploded corpus at 10^9+ docs
+        # would reshuffle the exploded corpus at 10^9+ docs.  The outer
+        # id join broadcasts too, so require NO SortMergeJoin anywhere
+        # (a 'BroadcastHashJoin in p' check alone would stay green if
+        # the gram semi-join regressed to sort-merge).
         "broadcast_join": lambda p: "BroadcastHashJoin" in p,
+        "no_sort_merge": lambda p: "SortMergeJoin" not in p,
         "partial_agg": lambda p: "HashAggregate" in p,
         "pushed_filter": lambda p: re.search(r"PushedFilters:[^\n]*doc_id", p),
     },
