@@ -31,6 +31,7 @@ FLOORS = {
     "tests_attrs_entities.dat": (29, 30),
     "tests_basic.dat": (39, 40),
     "tests_foster_parenting.dat": (12, 20),
+    "tests_head_body.dat": (19, 26),
     "tests_implicit_headings.dat": (20, 24),
     "tests_misnesting.dat": (6, 15),
     "tests_raw_foreign.dat": (11, 19),
@@ -41,7 +42,7 @@ FLOORS = {
     "tests_template.dat": (18, 18),
     "wpt_html5lib_vendored.html": (19, 27),
 }
-TOTAL_FLOOR = 223
+TOTAL_FLOOR = 242
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
