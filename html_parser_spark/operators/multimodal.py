@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-``decode_real`` REALLY decodes the uncompressed formats the Python
-stdlib can handle with no external codec — PPM/PGM (P6/P5) and 24-bit
-uncompressed BMP images, and PCM WAV audio (stdlib ``wave``) — and
-raises ``NotImplementedError`` for compressed formats (JPEG/PNG/MP3/
-H.264) that genuinely need codecs this container doesn't ship.  A
+``decode_real`` REALLY decodes the formats the Python stdlib can
+handle with no external codec — PPM/PGM (P6/P5), 24-bit uncompressed
+BMP, 8-bit PNG (zlib inflate + full filter reconstruction), and PCM
+WAV audio (stdlib ``wave``) — and raises ``NotImplementedError`` for
+transform-coded formats (JPEG/MP3/H.264) that genuinely need codecs
+this container doesn't ship.  A
 deterministic ``fake_decode`` remains for opaque test payloads.
 Everything Spark-side — schema, Arrow batch shape, ``mapInPandas``
 signatures, partitioning — is shared by both paths; the real-decode
@@ -88,7 +89,16 @@ def _decode_ppm(payload: bytes):
     width, height, maxval = (int(t) for t in tokens)
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
-    i += 1  # the single whitespace after maxval
+    # exactly one whitespace delimiter after maxval — but Windows-written
+    # files terminate the header with CRLF, which is one delimiter, not a
+    # delimiter plus a pixel byte.  A non-whitespace byte here means the
+    # header is malformed: raise rather than silently shift the pixels.
+    if payload[i:i + 2] == b"\r\n":
+        i += 2
+    elif i < n and payload[i] in b" \t\r\n":
+        i += 1
+    else:
+        raise ValueError("missing whitespace delimiter after PPM maxval")
     channels = 3 if payload[:2] == b"P6" else 1
     need = width * height * channels
     data = payload[i:i + need]
@@ -206,6 +216,13 @@ def _decode_png(payload: bytes):
         raise ValueError("PNG missing IHDR or IDAT")
     if width <= 0 or height <= 0 or width > 1 << 20 or height > 1 << 20:
         raise ValueError(f"implausible PNG dimensions {width}x{height}")
+    # Total pixel budget BEFORE any allocation: per-axis caps alone still
+    # allow ~10^12 declared pixels, so a small IDAT zlib bomb declaring
+    # huge dims could inflate to terabytes below.  16 Mpix × RGBA bounds
+    # the decode buffer at ~68 MB regardless of what the payload claims.
+    if width * height > 1 << 24:
+        raise ValueError(
+            f"PNG pixel budget exceeded: {width}x{height} > {1 << 24} pixels")
     # Bounded inflate: a zlib bomb in IDAT must not allocate beyond what
     # the declared dimensions can hold (the NULL-features contract means
     # a crafted payload gets caught, never OOM-kills the executor).

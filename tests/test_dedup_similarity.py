@@ -575,3 +575,60 @@ def test_kmeans_dim_robust_and_degenerate_inputs(spark):
         kmeans_centroids(empty, num_cells=4)
     with pytest.raises(ValueError, match="empty"):
         build_ivf_index(empty, num_cells=4)
+
+
+def test_multimodal_hardening_round4():
+    """Round-4 advice items: CRLF-terminated PPM headers decode
+    correctly (not shifted by one byte), a PNG zlib bomb declaring huge
+    dims is rejected BEFORE inflating, and a non-whitespace byte after
+    the PPM maxval raises instead of silently mis-slicing pixels."""
+    import struct as _s
+    import zlib as _z
+
+    from html_parser_spark.operators.multimodal import decode_real, synth_ppm
+
+    # CRLF after maxval (Windows-written Netpbm): one delimiter, pixels
+    # must not shift — decode equals the LF-delimited twin
+    lf = synth_ppm(5)
+    header_end = lf.index(b"255\n") + 4
+    crlf = lf[:header_end - 1] + b"\r\n" + lf[header_end:]
+    assert decode_real(crlf, "image") == decode_real(lf, "image")
+
+    # non-whitespace after maxval: malformed header raises (never a
+    # silently wrong histogram) — the junk byte merges into the maxval
+    # token and fails the int() parse; a header that ENDS at maxval
+    # (i == n) hits the explicit missing-delimiter check
+    bad = lf[:header_end - 1] + b"X" + lf[header_end:]
+    with pytest.raises(ValueError):
+        decode_real(bad, "image")
+    with pytest.raises(ValueError, match="whitespace|truncated"):
+        decode_real(lf[:header_end - 1], "image")
+
+    # zlib bomb with huge DECLARED dims (1<<20 x 1<<20 passes the
+    # per-axis caps; expected would be ~4e12 bytes): the pixel budget
+    # must reject before zlib allocates anything
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data)))
+    ihdr = _s.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(bytes(1 << 20)))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="pixel budget"):
+        decode_real(bomb, "image")
+
+
+def test_correctness_gate_nan_vs_null_asymmetry():
+    """Round-4 advice: the local gate's canon() must keep a REAL
+    Spark-side NaN distinct from NULL (so NaN-vs-NULL divergences go
+    red) while still folding the oracle pandas path's NULL→NaN decay
+    into the null tag."""
+    from tools.check_correctness import canon
+
+    spark_nan = canon([(float("nan"),)], ["x"], side="spark")
+    spark_null = canon([(None,)], ["x"], side="spark")
+    oracle_nan = canon([(float("nan"),)], ["x"], side="oracle")
+    # oracle NaN is an undistinguishable NULL; Spark NaN is computed
+    assert oracle_nan == spark_null
+    assert spark_nan != spark_null
+    assert spark_nan == [(("float", "nan"),)]

@@ -23,7 +23,7 @@ TABLES = [
 ]
 
 
-def canon(rows, cols):
+def canon(rows, cols, side="spark"):
     """Type-family-strict canonicalization.
 
     The driver compares results on the pandas/Arrow path, where e.g. a
@@ -32,15 +32,15 @@ def canon(rows, cols):
     equal.  Tag each value with its type family (int / float / decimal /
     str / …) so the local gate is red wherever the driver would be.
 
-    Cross-engine NULL/bool canonicalization (round-3 advice): DuckDB's
-    ``.df()`` pandas path renders a numeric NULL as float NaN while
-    Spark yields Python None — both map to the ``('null', '')`` tag.
-    Caveat this knowingly accepts: a GENUINE computed NaN also lands on
-    that tag, so a real NaN-vs-NULL divergence would pass this gate —
-    unavoidable, because the oracle side cannot distinguish NULL from
-    NaN at all on the pandas path.  The working invariant is therefore
-    that queries never emit NaN-capable expressions (guard divisions
-    with ``when(denom > 0, ...)``, as the existing queries do).
+    Cross-engine NULL/bool canonicalization (round-3 advice, tightened
+    round 4): DuckDB's ``.df()`` pandas path renders a numeric NULL as
+    float NaN — indistinguishable from a computed NaN — so on
+    ``side="oracle"`` NaN maps to the ``('null', '')`` tag.  On
+    ``side="spark"`` (collect() distinguishes None from float('nan')) a
+    real NaN keeps a distinct ``('float', 'nan')`` tag: a query that
+    computes NaN where the oracle has NULL now goes RED here instead of
+    silently passing, so the "queries never emit NaN-capable
+    expressions" invariant is checked rather than assumed.
     Likewise numpy ``bool_`` (pandas path) tags ``('bool', ...)`` like
     Python ``bool`` instead of falling through to ``str``.
     """
@@ -59,9 +59,12 @@ def canon(rows, cols):
             elif isinstance(v, float) or type(v).__name__ in ("float64", "float32"):
                 v = float(v)
                 if math.isnan(v):
-                    # pandas renders a numeric NULL as NaN; Spark gives
-                    # None — same missing value, same tag
-                    vals.append(("null", ""))
+                    # oracle pandas path renders numeric NULL as NaN →
+                    # tag as missing; Spark-side NaN is a REAL computed
+                    # NaN (collect() keeps NULL as None) → keep it
+                    # distinct so NaN-vs-NULL divergences fail
+                    vals.append(("null", "") if side == "oracle"
+                                else ("float", "nan"))
                 else:
                     vals.append(("float", f"{v:.6f}"))
             elif isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
@@ -136,8 +139,8 @@ def main() -> int:
             print(f"[FAIL] {name}: rows {len(srows)} != {len(orows)}")
             failures += 1
             continue
-        a = canon([tuple(r) for r in srows], scols)
-        b = canon(orows, ocols)
+        a = canon([tuple(r) for r in srows], scols, side="spark")
+        b = canon(orows, ocols, side="oracle")
         if a != b:
             bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"[FAIL] {name}: value mismatch; first diffs: {bad}")
