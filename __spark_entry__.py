@@ -425,6 +425,27 @@ def q_ann_ivf_topk(spark, sf_dir):
     top = ivf_topk(indexed, cents, qvec, k=5, nprobe=2)
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
+def q_ann_ivf_batch_topk(spark, sf_dir):
+    """Batched IVF search (round-3 verdict item 2): 10 query vectors as
+    a TABLE (vec_id < 10), corpus = the rest; each query probes its 2
+    nearest of 8 cells (broadcast-GEMM probe UDF), the exploded
+    (query, cell) side broadcasts into an equi-join on cell, and the
+    per-query exact top-5 comes from a rank-limit window (Spark pushes
+    it down to per-partition partial top-k).  Oracle replicates the
+    centroid assignment, per-query probe ranking and per-query top-k
+    rank with the same (round-9/round-6, index-asc) tie-breaks."""
+    from html_parser_spark.operators.similarity import build_ivf_index, ivf_topk_batch
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    indexed, cents = build_ivf_index(e.where(F.col("vec_id") >= 10), num_cells=8)
+    top = ivf_topk_batch(indexed, cents, queries, k=5, nprobe=2)
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"))
+
+
 def q_lsh_candidate_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
     sigs = minhash_signatures(d, num_hashes=8, shingle_n=3)
@@ -713,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_banded_pairs": q_simhash_banded_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "lsh_capped_pairs": q_lsh_capped_pairs,
         "lsh_bucket_accounting": q_lsh_bucket_accounting,
@@ -758,6 +780,62 @@ def _simhash_oracle_sql(bits: int = SIMHASH_BITS, max_id: int = 200) -> str:
         select id, {total} as simhash
         from wh group by id
     """  # noqa: E501
+
+
+def _ivf_batch_oracle_sql() -> str:
+    """Batched IVF replica: queries = vec_id < 10 as a table, corpus =
+    vec_id >= 10, centroids = 8 lowest corpus ids; per-query probe
+    ranking and per-query top-5 rank use the same (round-9 assign /
+    round-6 score, index-asc) tie-breaks as ``ivf_topk_batch``."""
+    dot = lambda a, b: (  # noqa: E731
+        f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]))")
+    norm = lambda a: f"sqrt(list_sum(list_transform({a}, x -> x*x)))"  # noqa: E731
+    cos = lambda a, b: f"({dot(a, b)} / ({norm(a)} * {norm(b)}))"  # noqa: E731
+    return f"""
+    with v as (
+      select vec_id as id, list_transform(embedding, x -> cast(x as double)) as vv
+      from embeddings where vec_id >= 10
+    ),
+    c as (
+      select id as cid, vv as cv, row_number() over (order by id) - 1 as ci
+      from v order by id limit 8
+    ),
+    assign as (
+      select id, cell from (
+        select v.id, c.ci as cell,
+               row_number() over (partition by v.id
+                 order by round({cos('v.vv', 'c.cv')}, 9) desc, c.ci asc) as rn
+        from v cross join c
+      ) where rn = 1
+    ),
+    q as (
+      select vec_id as qid, list_transform(embedding, x -> cast(x as double)) as qv
+      from embeddings where vec_id < 10
+    ),
+    probe as (
+      select qid, ci from (
+        select q.qid, c.ci,
+               row_number() over (partition by q.qid
+                 order by round({cos('c.cv', 'q.qv')}, 9) desc, c.ci asc) as rn
+        from q cross join c
+      ) where rn <= 2
+    ),
+    scored as (
+      select q.qid, v.id, round({cos('v.vv', 'q.qv')}, 6) as cos6
+      from v
+      join assign on assign.id = v.id
+      join probe p on p.ci = assign.cell
+      join q on q.qid = p.qid
+    )
+    select qid as query_id, id as vec_id, round(cos6, 4) as cosine,
+           cast(rnk as int) as rank
+    from (
+      select qid, id, cos6,
+             row_number() over (partition by qid
+               order by cos6 desc, id asc) as rnk
+      from scored
+    ) where rnk <= 5
+    """
 
 
 def _ivf_oracle_sql() -> str:
@@ -1149,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
             where bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "ann_ivf_batch_topk": _ivf_batch_oracle_sql(),
         "lsh_candidate_pairs": f"""
             with {_lsh_pairs_cte_sql()}
             select id_a, id_b from cand_pairs

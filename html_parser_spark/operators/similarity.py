@@ -8,6 +8,10 @@
   build time; queries probe only ``nprobe`` nearest cells.  At 10^9+
   vectors this turns a full scan into a partition-pruned fraction
   (cells are a partition column of the index table).
+* ``ivf_topk_batch`` — the same IVF search for a whole query TABLE:
+  probe cells per query via the broadcast-GEMM UDF, broadcast the
+  exploded (query, cell) side into an equi-join on cell, per-query
+  top-k via a rank-limit window (WindowGroupLimit partial top-k).
 """
 
 from __future__ import annotations
@@ -190,6 +194,90 @@ def build_ivf_index(
     cnorm = np.linalg.norm(cmat, axis=1)
     assign = _assign_udf(df, cmat, cnorm)
     return df.withColumn("cell", assign(F.col(vec_col).cast("array<double>"))), cents
+
+
+def _probe_udf(df: DataFrame, cmat: "np.ndarray", cnorm: "np.ndarray", nprobe: int):
+    """Arrow-batched per-query probe-cell selection over a broadcast
+    centroid matrix: one (batch × cells) GEMM per batch yields each
+    query's ``nprobe`` nearest cell indices.  Ties: round(cosine, 9)
+    then lowest centroid index — identical to ``_assign_udf`` and the
+    driver-side ranking in ``ivf_topk``."""
+    bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm))
+
+    @F.pandas_udf("array<int>")
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cm, cn = bc.value
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            vm = np.stack([np.asarray(x, dtype=np.float64) for x in s])
+            vn = np.linalg.norm(vm, axis=1)
+            scores = np.round((vm @ cm.T) / (vn[:, None] * cn[None, :]), 9)
+            # stable argsort on -scores: ties keep ascending cell index
+            order = np.argsort(-scores, axis=1, kind="stable")
+            yield pd.Series([row[:nprobe].astype("int32").tolist()
+                             for row in order])
+
+    return probe
+
+
+def ivf_topk_batch(
+    indexed: DataFrame,
+    cents: List,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF search: a whole TABLE of query vectors at once — the
+    production shape for eval-set contamination sweeps and near-dup
+    lookups, where queries arrive by the million, not one at a time.
+
+    Plan (no driver-side loop over queries anywhere):
+
+    1. each query picks its ``nprobe`` nearest cells via the broadcast-
+       GEMM probe UDF (map-only over the query table);
+    2. explode to (query, cell) and **broadcast** that small side into
+       an equi-join on ``cell`` against the indexed corpus — the big
+       side never shuffles, and only the probed fraction of the corpus
+       is scored (with a cell-partitioned index table the non-probed
+       cells are partition-pruned away entirely);
+    3. per-query exact top-k: ``row_number()`` over (query_id, cosine
+       desc, id asc) filtered to ``<= k`` — Spark's rank-limit pushdown
+       (WindowGroupLimit) turns this into per-partition partial top-k
+       before the shuffle, so the exchange carries at most
+       ``k × queries`` rows per partition, not every scored candidate.
+
+    Cosine is rounded to 6 before ranking (``with_cosine`` semantics);
+    ties break on ascending ``id_col``.  Returns one row per
+    (query_id, rank ≤ k): query_id, vec_id, cosine, rank.
+    """
+    from pyspark.sql.window import Window
+
+    cmat = np.asarray([c[1] for c in cents], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    probe = _probe_udf(queries, cmat, cnorm, nprobe)
+    qv = F.col(query_vec_col).cast("array<double>")
+    qcells = queries.select(
+        F.col(query_id_col),
+        qv.alias("_qv"),
+        F.explode(probe(qv)).alias("cell"),
+    )
+    joined = indexed.join(F.broadcast(qcells), "cell")
+    v = F.col(vec_col).cast("array<double>")
+    scored = joined.withColumn(
+        "cosine", F.round(_dot(v, F.col("_qv")) / (_norm(v) * _norm(F.col("_qv"))), 6))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
 
 
 def ivf_topk(

@@ -632,3 +632,45 @@ def test_correctness_gate_nan_vs_null_asymmetry():
     assert oracle_nan == spark_null
     assert spark_nan != spark_null
     assert spark_nan == [(("float", "nan"),)]
+
+
+def test_ivf_topk_batch_matches_single_and_brute(spark, sf_dir):
+    """Round-4: the batched IVF path must return, for every query in
+    the batch, EXACTLY the rows the single-query path returns at the
+    same nprobe — and with nprobe = num_cells it must equal exact
+    brute force.  Also pins the output contract (rank is 1-based,
+    dense per query, ties on id asc)."""
+    from html_parser_spark.operators.similarity import (
+        build_ivf_index, cosine_topk, ivf_topk, ivf_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    corpus = emb.where(F.col("vec_id") >= 6)
+    indexed, cents = build_ivf_index(corpus, num_cells=4)
+    qvecs = {r["query_id"]: [float(x) for x in r["query_vec"]]
+             for r in queries.collect()}
+
+    batch = ivf_topk_batch(indexed, cents, queries, k=3, nprobe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    assert set(got) == set(qvecs)
+    for qid, rows in got.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3]      # dense 1-based ranks
+        single = ivf_topk(indexed, cents, qvecs[qid], k=3, nprobe=2).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in single] == \
+            [(vid, cos) for _, vid, cos in rows], qid
+
+    # probe-all == exact brute force for every query in the batch
+    full = ivf_topk_batch(indexed, cents, queries, k=3, nprobe=4)
+    gotf = {}
+    for r in full.collect():
+        gotf.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, rows in gotf.items():
+        rows.sort()
+        brute = [r["vec_id"] for r in cosine_topk(corpus, qvecs[qid], k=3).collect()]
+        assert [vid for _, vid in rows] == brute, qid

@@ -122,7 +122,34 @@ CHECKS = {
         "arrow_assign": lambda p: "ArrowEvalPython" in p,
         "no_greatest_nest": lambda p: p.count("greatest") == 0,
     },
+    "ann_ivf_batch_topk": {
+        # the exploded (query, cell) side must broadcast — the indexed
+        # corpus (the 10^9-vector side) never shuffles for the join
+        "broadcast_join": lambda p: "BroadcastHashJoin" in p,
+        "no_sort_merge": lambda p: "SortMergeJoin" not in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        "arrow_probe": lambda p: "ArrowEvalPython" in p,
+        # rank-limit pushdown: partial per-partition top-k BEFORE the
+        # query_id exchange, so the shuffle carries ≤ k rows per
+        # (partition, query), not every scored candidate
+        "window_group_limit_before_exchange": lambda p:
+            _window_group_limit_before_exchange(p),
+    },
 }
+
+
+def _window_group_limit_before_exchange(p: str) -> bool:
+    """The formatted tree prints downstream operators first, so the
+    map-side partial WindowGroupLimit must appear BELOW (after) the
+    Exchange line — i.e. there are WindowGroupLimit lines on both sides
+    of the exchange."""
+    tree = p.split("== Physical Plan ==")[-1].split("== ")[0]
+    exch = tree.find("Exchange")
+    if exch < 0:
+        return False
+    return ("WindowGroupLimit" in tree[:exch]
+            and "WindowGroupLimit" in tree[exch:])
 
 
 def _no_exchange_before_arrow(p: str) -> bool:
