@@ -83,6 +83,62 @@ def windowed_metrics(extracted: DataFrame, window: str = "1 hour",
     )
 
 
+def windowed_events_agg(stream_df: DataFrame, window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window event rollup for APPEND mode: each
+    window row is emitted exactly once, when the watermark passes its
+    end (measured semantics, pinned by tests: emitted iff ``win_end <=
+    max_event_time_seen - delay``).  State is bounded by the watermark
+    horizon — unlike complete mode, nothing is re-emitted per batch, so
+    this is the 100-TB shape: output volume is O(closed windows), state
+    is O(open windows)."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def run_append_to_parquet(stream_out: DataFrame, out_dir: str,
+                          checkpoint_dir: str):
+    """Append-mode drain into the native parquet FILE sink — the
+    fault-tolerant, exactly-once production sink (output files are
+    committed via the sink's _spark_metadata manifest; a retried batch
+    never double-writes, unlike bare foreachBatch appends).  Restarting
+    with the same checkpoint resumes the watermark, so rows that are
+    late relative to data processed in a PREVIOUS run are dropped (and
+    accounted — see :func:`rows_dropped_by_watermark`)."""
+    q = (
+        stream_out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def rows_dropped_by_watermark(q) -> int:
+    """Late-data accounting: total input rows dropped by the watermark
+    across the query's recent progress (the observable a production job
+    exports as a metric / writes to its control table)."""
+    return sum(
+        int(op.get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+
+
 def run_available_now(stream_out: DataFrame, query_name: str, checkpoint_dir: str,
                       output_mode: str = "append"):
     """Drain everything currently available into a memory sink (tests)."""

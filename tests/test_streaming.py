@@ -107,3 +107,75 @@ def test_stateful_rollup_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     assert one_pass() == t.count()
     t.limit(37).write.mode("append").parquet(src)
     assert one_pass() == t.count() + 37
+
+
+def test_watermark_append_mode_drops_and_accounts_late_rows(spark, tmp_path):
+    """Round-4 verdict item: append-mode windowed agg behind a
+    watermark, native parquet file sink.  Pins three semantics the
+    driver query's oracle depends on:
+
+    1. eviction boundary: a window is emitted exactly when
+       ``win_end <= max_ts_seen - delay`` (INCLUSIVE — probed with a
+       window whose end lands exactly on the watermark);
+    2. a restart on the same checkpoint resumes the watermark, so rows
+       below it are DROPPED (output unchanged) even though they arrive
+       in a brand-new run;
+    3. the drops are ACCOUNTED: numRowsDroppedByWatermark equals the
+       number of late groups (rows reach the state operator after
+       partial aggregation — unique groups ⇒ rows == groups).
+    """
+    from html_parser_spark.streaming.stream import (
+        rows_dropped_by_watermark, run_append_to_parquet, windowed_events_agg,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk_events(rows):
+        # (event_id, epoch_sec, event_type, value)
+        return spark.createDataFrame(
+            rows, ["event_id", "epoch", "event_type", "value"]
+        ).selectExpr(
+            "cast(event_id as long) as event_id",
+            "timestamp_seconds(epoch) as ts",
+            "cast(0 as long) as user_id",
+            "event_type",
+            "cast(value as double) as value",
+            "'{}' as props",
+        )
+
+    # hours 0..9, one row each; max ts = 9h exactly → watermark 7h;
+    # window [6h,7h) has end == watermark → must be emitted (inclusive)
+    phase1 = [(i, i * 3600, "a", 1.0) for i in range(10)]
+    mk_events(phase1).repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(mk_events(phase1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = windowed_events_agg(stream, window="1 hour", watermark="2 hours")
+    run_append_to_parquet(agg, out, ckpt)
+    got1 = sorted(
+        r[0] for r in spark.read.parquet(out)
+        .select(F.unix_timestamp("win_start")).collect())
+    assert got1 == [i * 3600 for i in range(7)]      # ends 1h..7h <= wm=7h
+
+    # phase 2: 3 late rows in hours 0/1/2 with UNIQUE event types (one
+    # group each) + 1 on-time row at 12h that advances the watermark
+    phase2 = [(100, 30, "late_x", 9.0), (101, 3630, "late_y", 9.0),
+              (102, 7230, "late_z", 9.0), (103, 12 * 3600, "a", 1.0)]
+    mk_events(phase2).coalesce(1).write.mode("append").parquet(src)
+    q2 = run_append_to_parquet(agg, out, ckpt)
+
+    final = spark.read.parquet(out)
+    # late rows contaminated nothing: no late_* window ever emitted,
+    # and the hour-0..2 windows kept their original counts
+    assert final.where(F.col("event_type").like("late%")).count() == 0
+    by_win = {r[0]: r[1] for r in final.select(
+        F.unix_timestamp("win_start"), "n_events").collect()}
+    assert by_win[0] == 1 and by_win[3600] == 1 and by_win[7200] == 1
+    # the new on-time row advanced the watermark to 10h → hours 7,8,9
+    # closed and emitted; hour 12 stays open
+    assert sorted(by_win) == [i * 3600 for i in range(10)]
+    # accounting: exactly the 3 late groups were dropped
+    assert rows_dropped_by_watermark(q2) == 3
