@@ -753,6 +753,39 @@ def q_multimodal_real_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode under the value gate (round-3 verdict
+    item 4): 64 synthesized DC-only grayscale JPEGs — quant table
+    all-ones and DC = 8·k make block j decode to the EXACT flat value
+    128 + k_j with k_j = byte j of md5(id) % 64 - 32, so the decoded
+    histogram is closed-form SQL.  The pipeline runs the actual
+    Huffman + dequant + IDCT decoder (use_real_codec=True); the oracle
+    recomputes each block's level and bins it (levels span 96..159 =
+    histogram bins 6..9) without ever parsing JPEG."""
+    import hashlib
+
+    from html_parser_spark.operators.jpeg import synth_jpeg_gray
+    from html_parser_spark.operators.multimodal import ASSET_SCHEMA, extract_features
+
+    rows = []
+    for i in range(64):
+        bw_, bh_ = 2 + i % 3, 1 + i % 2
+        digest = hashlib.md5(str(i).encode()).hexdigest()
+        levels = [int(digest[2 * j:2 * j + 2], 16) % 64 - 32
+                  for j in range(bw_ * bh_)]
+        rows.append((i, "image", bytearray(synth_jpeg_gray(levels, bw_, bh_)),
+                     {"src": f"synth://jpeg/{i}"}))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = extract_features(assets, use_real_codec=True)
+    return feats.select(
+        "asset_id", "width", "height",
+        F.round(F.element_at("histogram", 7), 6).alias("share_b6"),
+        F.round(F.element_at("histogram", 8), 6).alias("share_b7"),
+        F.round(F.element_at("histogram", 9), 6).alias("share_b8"),
+        F.round(F.element_at("histogram", 10), 6).alias("share_b9"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -811,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "contamination_check": q_contamination_check,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1440,6 +1474,35 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) >= 1 as contaminated
             from (select doc_id from documents where doc_id < 450) d
             left join hits h on h.id = d.doc_id
+        """,
+        # block j of asset i decodes to the flat value 128 + k with
+        # k = (j-th byte of md5(i)) % 64 - 32 — levels 96..159 land in
+        # 16-bin histogram bins 6..9; every block contributes equally
+        # (64 px), so each bin's share = blocks_in_bin / n_blocks
+        "multimodal_jpeg_decode": """
+            with a as (
+                select i as asset_id,
+                       2 + i % 3 as bw, 1 + i % 2 as bh
+                from (select unnest(generate_series(0, 63)) as i)
+            ), blocks as (
+                select asset_id, bw, bh,
+                       128 + cast(concat('0x',
+                           substr(md5(cast(asset_id as varchar)),
+                                  1 + 2 * j, 2)) as int) % 64 - 32 as level
+                from a, lateral (select unnest(generate_series(0, bw * bh - 1)) as j)
+            )
+            select asset_id,
+                   cast(max(bw) * 8 as int) as width,
+                   cast(max(bh) * 8 as int) as height,
+                   round(sum(case when level // 16 = 6 then 1.0 else 0 end)
+                         / count(*), 6) as share_b6,
+                   round(sum(case when level // 16 = 7 then 1.0 else 0 end)
+                         / count(*), 6) as share_b7,
+                   round(sum(case when level // 16 = 8 then 1.0 else 0 end)
+                         / count(*), 6) as share_b8,
+                   round(sum(case when level // 16 = 9 then 1.0 else 0 end)
+                         / count(*), 6) as share_b9
+            from blocks group by asset_id
         """,
         "multimodal_real_decode": """
             with a as (

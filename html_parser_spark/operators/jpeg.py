@@ -1,0 +1,446 @@
+"""Baseline-sequential JPEG decode, stdlib + numpy only.
+
+Closes the "most common real web image format" gap flagged since round
+1 (reference scope: the engine treats media as opaque binary + typed
+features, SURVEY.md §2 Table B): an honest pure-Python implementation
+of ITU-T T.81 baseline sequential DCT — marker parse, table-driven
+canonical Huffman entropy decode (byte stuffing + restart markers),
+dequantization, inverse zigzag, separable float IDCT (orthonormal
+8×8 DCT basis via numpy), nearest-neighbor chroma upsampling, and the
+JFIF YCbCr→RGB transform.  Out of scope (raises NotImplementedError,
+never garbage): progressive (SOF2), arithmetic coding (SOF9+),
+hierarchical, 12-bit precision.
+
+Hardening mirrors the PNG decoder's contract: a total pixel budget is
+enforced BEFORE any allocation, truncated bitstreams raise ValueError,
+and Huffman tables are validated while being built — a crafted payload
+yields NULL features upstream, never an OOM or a hang.
+
+The synth encoders produce DC-only blocks whose decoded pixel values
+are exact integers (DC = 8k ⇒ flat block at 128 + k, zero IDCT
+rounding ambiguity), so a SQL oracle can reconstruct the decoded
+histogram in closed form — the same value-gating pattern the driver
+uses for PPM (``multimodal_real_decode``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index -> (row, col) position in the 8x8 block
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# orthonormal 8x8 DCT-II basis; IDCT(F) = C.T @ F @ C
+_C = np.array([
+    [(np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0))
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)
+])
+
+MAX_PIXELS = 1 << 24  # same decode-buffer budget as the PNG path
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with JPEG
+    byte-stuffing: 0xFF 0x00 is a literal 0xFF; 0xFF <marker> ends the
+    segment (restart markers are consumed by the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed literal 0xFF
+            else:
+                # a real marker: the scan data ended early
+                raise ValueError("marker inside JPEG entropy data")
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def align_to_restart(self) -> None:
+        """Discard partial byte and consume one RSTn marker (skipping a
+        stuffed 0xFF00 pad byte the bit consumer never needed)."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0x00:
+            self.pos += 2
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF or not (
+                0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+class _Huffman:
+    """Canonical Huffman table from a DHT segment (bits[16] + values),
+    decoded via the standard MINCODE/MAXCODE walk."""
+
+    def __init__(self, bits, values):
+        if sum(bits) != len(values) or len(values) > 256:
+            raise ValueError("inconsistent JPEG Huffman table")
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            if n:
+                if code + n > (1 << ln):
+                    raise ValueError("oversubscribed JPEG Huffman table")
+                self.val_ptr[ln] = k
+                self.min_code[ln] = code
+                code += n
+                k += n
+                self.max_code[ln] = code - 1
+            code <<= 1
+        self.values = values
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bits(1)
+            if self.max_code[ln] >= code >= self.min_code[ln]:
+                return self.values[self.val_ptr[ln] + code - self.min_code[ln]]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """DC/AC magnitude decode (T.81 F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _idct_block(coeffs: "np.ndarray") -> "np.ndarray":
+    return _C.T @ coeffs @ _C
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline-sequential JPEG; returns
+    (width, height, pixel_bytes) where pixel_bytes is the grayscale
+    plane (1 component) or interleaved RGB (3 components)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG SOI")
+    pos = 2
+    n = len(payload)
+    qt = {}            # id -> np.array(64) in zigzag order
+    huff_dc = {}
+    huff_ac = {}
+    restart_interval = 0
+    frame = None       # (w, h, [(comp_id, hi, vi, tq)])
+    while True:
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG before SOS")
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            continue  # stray SOI / RST outside a scan
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2:pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        body_at = pos + seglen
+        pos = body_at
+        if marker == 0xDB:          # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                if i + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                qt[tq] = np.frombuffer(seg[i + 1:i + 65], dtype=np.uint8
+                                       ).astype(np.float64)
+                i += 65
+        elif marker == 0xC4:        # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                table = _Huffman(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("non-8-bit JPEG precision")
+            if w <= 0 or h <= 0:
+                raise ValueError("implausible JPEG dimensions")
+            if w * h > MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG pixel budget exceeded: {w}x{h} > {MAX_PIXELS}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x}: progressive/"
+                "arithmetic/hierarchical) needs a codec this engine "
+                "doesn't ship")
+        elif marker == 0xDD:        # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:        # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            return _decode_scan(payload, body_at, frame, scan, qt,
+                                huff_dc, huff_ac, restart_interval)
+        elif marker == 0xD9:        # EOI before any scan
+            raise ValueError("JPEG EOI before SOS")
+        # else: APPn / COM / others — skipped via seglen
+
+
+def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval):
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan JPEG (non-interleaved)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise NotImplementedError("JPEG sampling factors beyond 2x2")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component plane buffers at component resolution
+    planes = []
+    meta = []  # (hi, vi, quant, dc_table, ac_table)
+    dc_by_cid = {cid: (dt, at) for cid, dt, at in scan}
+    for cid, hi, vi, tq in comps:
+        if tq not in qt:
+            raise ValueError("JPEG component references missing quant table")
+        if cid not in dc_by_cid:
+            raise ValueError("JPEG scan/frame component mismatch")
+        dt, at = dc_by_cid[cid]
+        if dt not in huff_dc or at not in huff_ac:
+            raise ValueError("JPEG scan references missing Huffman table")
+        planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8),
+                               dtype=np.float64))
+        meta.append((hi, vi, qt[tq], huff_dc[dt], huff_ac[at]))
+
+    br = _BitReader(payload, pos)
+    preds = [0] * len(comps)
+    coeffs = np.zeros(64, dtype=np.float64)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.align_to_restart()
+                preds = [0] * len(comps)
+            n_mcu += 1
+            for ci, (hi, vi, quant, hdc, hac) in enumerate(meta):
+                for by in range(vi):
+                    for bx in range(hi):
+                        coeffs[:] = 0.0
+                        s = hdc.decode(br)
+                        if s > 11:
+                            raise ValueError("invalid JPEG DC category")
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        coeffs[0] = preds[ci] * quant[0]
+                        k = 1
+                        while k < 64:
+                            rs = hac.decode(br)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:   # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break         # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            coeffs[k] = _extend(br.bits(size), size) * quant[k]
+                            k += 1
+                        block = np.zeros((8, 8), dtype=np.float64)
+                        block.flat[ZIGZAG] = coeffs
+                        px = _idct_block(block) + 128.0
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+
+    out_planes = []
+    for ci, (hi, vi, *_rest) in enumerate(meta):
+        p = np.clip(np.round(planes[ci]), 0, 255)
+        # nearest-neighbor upsample to full resolution, then crop
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(p[:h, :w])
+
+    if len(out_planes) == 1:
+        return w, h, out_planes[0].astype(np.uint8).tobytes()
+    if len(out_planes) != 3:
+        raise NotImplementedError("JPEG with 2 or 4+ components")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Synthetic encoders (tests + driver oracle fixtures)
+# ---------------------------------------------------------------------------
+
+# minimal valid canonical tables: DC = 12 categories at 4 bits each,
+# AC = the two symbols the synth encoders emit (EOB, ZRL not needed)
+_SYNTH_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_SYNTH_DC_VALS = list(range(12))
+_SYNTH_AC_BITS = [1] + [0] * 15
+_SYNTH_AC_VALS = [0x00]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+    def restart(self, m: int) -> None:
+        """Byte-align (pad with 1s) and emit RSTm."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+        self.out += bytes([0xFF, 0xD0 + (m % 8)])
+
+
+def _dc_code(writer: _BitWriter, diff: int) -> None:
+    s = abs(diff).bit_length()
+    writer.write(s, 4)  # synth DC codes: category c -> 4-bit code c
+    if s:
+        writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _segment(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_unit() -> bytes:
+    return _segment(0xDB, bytes([0x00]) + bytes([1] * 64))
+
+
+def _dht_synth() -> bytes:
+    body = (bytes([0x00]) + bytes(_SYNTH_DC_BITS) + bytes(_SYNTH_DC_VALS)
+            + bytes([0x10]) + bytes(_SYNTH_AC_BITS) + bytes(_SYNTH_AC_VALS))
+    return _segment(0xC4, body)
+
+
+def synth_jpeg_gray(levels, blocks_w: int, blocks_h: int,
+                    restart_interval: int = 0,
+                    crop_w: int = 0, crop_h: int = 0) -> bytes:
+    """Baseline grayscale JPEG of ``blocks_w × blocks_h`` DC-only 8×8
+    blocks; block j (raster order) decodes to the EXACT flat value
+    ``128 + levels[j]`` (quant table all-ones, DC = 8·level ⇒ the IDCT
+    is an integer constant — closed-form for a SQL oracle).  With
+    ``restart_interval`` r, a DRI segment is written and an RSTn marker
+    (byte-aligned, DC predictor reset) every r MCUs."""
+    assert len(levels) == blocks_w * blocks_h
+    w, h = crop_w or 8 * blocks_w, crop_h or 8 * blocks_h
+    assert 8 * (blocks_w - 1) < w <= 8 * blocks_w
+    assert 8 * (blocks_h - 1) < h <= 8 * blocks_h
+    sof = _segment(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sos = _segment(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (_segment(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    bw = _BitWriter()
+    pred = 0
+    for j, lv in enumerate(levels):
+        if restart_interval and j and j % restart_interval == 0:
+            bw.restart(j // restart_interval - 1)
+            pred = 0
+        dc = 8 * int(lv)
+        _dc_code(bw, dc - pred)
+        pred = dc
+        bw.write(0, 1)  # EOB (synth AC code for 0x00 is the 1-bit code 0)
+    return (b"\xff\xd8" + _dqt_unit() + _dht_synth() + dri + sof + sos
+            + bw.flush() + b"\xff\xd9")
+
+
+def synth_jpeg_color(levels, blocks_w: int, blocks_h: int,
+                     subsample_420: bool = False) -> bytes:
+    """DC-only color JPEG (4:4:4 or 4:2:0) with neutral chroma
+    (Cb = Cr = 128 ⇒ R = G = B = Y exactly): the decoded RGB histogram
+    equals the grayscale one with every count tripled."""
+    if subsample_420:
+        assert blocks_w % 2 == 0 and blocks_h % 2 == 0
+    w, h = 8 * blocks_w, 8 * blocks_h
+    samp_y = 0x22 if subsample_420 else 0x11
+    sof = _segment(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                   + bytes([1, samp_y, 0]) + bytes([2, 0x11, 0])
+                   + bytes([3, 0x11, 0]))
+    sos = _segment(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+
+    def put_block(cid, level):
+        dc = 8 * int(level)
+        _dc_code(bw, dc - preds[cid])
+        preds[cid] = dc
+        bw.write(0, 1)  # EOB
+
+    if subsample_420:
+        for my in range(blocks_h // 2):
+            for mx in range(blocks_w // 2):
+                for by in range(2):
+                    for bx in range(2):
+                        put_block(1, levels[(my * 2 + by) * blocks_w
+                                            + mx * 2 + bx])
+                put_block(2, 0)
+                put_block(3, 0)
+    else:
+        for j in range(blocks_w * blocks_h):
+            put_block(1, levels[j])
+            put_block(2, 0)
+            put_block(3, 0)
+    return (b"\xff\xd8" + _dqt_unit() + _dht_synth() + sof + sos
+            + bw.flush() + b"\xff\xd9")

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-``decode_real`` REALLY decodes the formats the Python stdlib can
-handle with no external codec — PPM/PGM (P6/P5), 24-bit uncompressed
-BMP, 8-bit PNG (zlib inflate + full filter reconstruction), and PCM
-WAV audio (stdlib ``wave``) — and raises ``NotImplementedError`` for
-transform-coded formats (JPEG/MP3/H.264) that genuinely need codecs
-this container doesn't ship.  A
+``decode_real`` REALLY decodes the formats this engine can handle
+with no external codec — PPM/PGM (P6/P5), 24-bit uncompressed BMP,
+8-bit PNG (zlib inflate + full filter reconstruction),
+baseline-sequential JPEG (pure-Python Huffman + dequant + IDCT, see
+``jpeg.py``), and PCM WAV audio (stdlib ``wave``) — and raises
+``NotImplementedError`` for formats that genuinely need codecs this
+container doesn't ship (progressive/arithmetic JPEG, MP3, H.264).  A
 deterministic ``fake_decode`` remains for opaque test payloads.
 Everything Spark-side — schema, Arrow batch shape, ``mapInPandas``
 signatures, partitioning — is shared by both paths; the real-decode
@@ -243,10 +244,11 @@ def _decode_wav(payload: bytes):
 
 
 def decode_real(payload: bytes, kind: str):
-    """Stdlib-only real decode: PPM/PGM, 24bpp BMP, 8-bit PNG
-    (zlib inflate + filter reconstruction), PCM WAV.  Returns
+    """Codec-free real decode: PPM/PGM, 24bpp BMP, 8-bit PNG
+    (zlib inflate + filter reconstruction), baseline-sequential JPEG
+    (pure-Python Huffman + dequant + IDCT), PCM WAV.  Returns
     (width, height, 16-bin histogram); raises NotImplementedError for
-    transform-coded formats (JPEG/MP3/H.264/...)."""
+    formats needing external codecs (progressive JPEG/MP3/H.264/...)."""
     magic = payload[:4]
     if magic[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
@@ -254,12 +256,17 @@ def decode_real(payload: bytes, kind: str):
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if magic[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        w, h, pixels = decode_jpeg(payload)
+        return w, h, _byte_histogram(pixels)
     if magic == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise NotImplementedError(
-        f"no stdlib decoder for payload magic {magic!r}; transform-coded "
-        "formats (JPEG/MP3/H.264) need external codecs this container "
-        "doesn't ship"
+        f"no codec-free decoder for payload magic {magic!r}; "
+        "transform-coded audio/video (MP3/H.264) and non-baseline JPEG "
+        "need external codecs this container doesn't ship"
     )
 
 
