@@ -22,12 +22,19 @@ import pytest
 
 from tools.conformance import FIXTURE_DIR, load_dat, load_suite, run_suite
 
-# floor per fixture file: (passed, total) as of round 3 (corpus grown
-# 148 → 262 cases, prioritizing the divergence classes the reference
-# itself fails: adoption agency, foster parenting, template, rawtext
-# variants — so the floors document WHICH quirks we share)
+# floor per fixture file: (passed, total) as of round 4 (corpus grown
+# 148 → 316 → 411 cases, prioritizing the divergence classes the
+# reference itself fails: adoption agency, foster parenting, template,
+# rawtext variants, and — new in round 4 — table sections/colgroup and
+# formatting-reconstruction variants; the floors document WHICH quirks
+# we share.  Round-4 failures are confined to two classes: implied
+# <colgroup> synthesis + foster parenting (tests_table_sections) and
+# adoption-agency formatting clones (tests_adoption_agency2) — both on
+# the reference's own documented divergence list (BASELINE.md).
 FLOORS = {
     "tests_adoption_agency.dat": (1, 14),
+    "tests_adoption_agency2.dat": (13, 37),
+    "tests_table_sections.dat": (45, 58),
     "tests_attrs_entities.dat": (29, 30),
     "tests_basic.dat": (39, 40),
     "tests_foster_parenting.dat": (12, 20),
@@ -42,7 +49,7 @@ FLOORS = {
     "tests_template.dat": (18, 18),
     "wpt_html5lib_vendored.html": (19, 27),
 }
-TOTAL_FLOOR = 242
+TOTAL_FLOOR = 300
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
