@@ -617,10 +617,11 @@ def q_streaming_watermark_hourly(spark, sf_dir):
     passes its end (measured: win_end <= max_ts_seen - delay), so
     output is O(closed windows) and state is O(open windows) — the
     100-TB shape complete mode can't reach.  A second run on the same
-    checkpoint injects duplicates of the 200 earliest events: all fall
-    below the RESUMED watermark, are dropped, and the drop count is
-    asserted in-query (a miscount fails the gate as err).  Windows as
-    epoch ints, TZ-safe."""
+    checkpoint injects 48 synthetic sub-watermark probe events (one
+    unique (window, type) group each — see the inline comment for why
+    uniqueness makes the metric exact): all fall below the RESUMED
+    watermark, are dropped, and the drop count is asserted in-query (a
+    miscount fails the gate as err).  Windows as epoch ints, TZ-safe."""
     import shutil
     import tempfile
 

@@ -217,26 +217,10 @@ QUERY_PICKS = [
 REPEAT_PICKS = ("simhash_banded_pairs", "simhash", "html_count_li")
 
 
-def run_headline_queries(spark, sf_dir: str, picks=None):
-    """Per-query wall times for the operator suite (forces execution
-    via a noop sink)."""
-    import __spark_entry__ as entrymod
-
-    qs = entrymod.queries()
-    times = {}
-    for name in (picks if picks is not None else QUERY_PICKS):
-        fn = qs[name]
-        walls = []
-        for _ in range(2):  # min-of-2: first run may pay page-cache misses
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            walls.append(time.time() - t0)
-        times[name] = round(min(walls), 3)
-    return times
-
-
 def _time_query(spark, sf_dir: str, name: str, runs: int = 1) -> list:
+    """Walls for ``runs`` executions of one suite query (noop sink
+    forces full execution) — the single timing definition both the
+    min-of-2 suite pass and the median-of-blocks repeat protocol use."""
     import __spark_entry__ as entrymod
 
     fn = entrymod.queries()[name]
@@ -247,6 +231,13 @@ def _time_query(spark, sf_dir: str, name: str, runs: int = 1) -> list:
         df.write.format("noop").mode("overwrite").save()
         walls.append(round(time.time() - t0, 3))
     return walls
+
+
+def run_headline_queries(spark, sf_dir: str, picks=None):
+    """Per-query wall times for the operator suite: min-of-2 (the
+    first run may pay page-cache misses)."""
+    return {name: round(min(_time_query(spark, sf_dir, name, runs=2)), 3)
+            for name in (picks if picks is not None else QUERY_PICKS)}
 
 
 def run_interleaved_suite(spark, suite_dir: str, n_suite: int, load_probes: dict):

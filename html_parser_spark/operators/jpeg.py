@@ -143,7 +143,19 @@ def _idct_block(coeffs: "np.ndarray") -> "np.ndarray":
 def decode_jpeg(payload: bytes):
     """Decode a baseline-sequential JPEG; returns
     (width, height, pixel_bytes) where pixel_bytes is the grayscale
-    plane (1 component) or interleaved RGB (3 components)."""
+    plane (1 component) or interleaved RGB (3 components).
+
+    Error contract: hostile/truncated payloads raise ValueError,
+    out-of-scope encodings raise NotImplementedError — never anything
+    else (short segment bodies would otherwise leak struct.error /
+    IndexError from the fixed-layout unpacks)."""
+    try:
+        return _decode_markers(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG structure: {e}") from e
+
+
+def _decode_markers(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
     pos = 2
@@ -154,7 +166,7 @@ def decode_jpeg(payload: bytes):
     restart_interval = 0
     frame = None       # (w, h, [(comp_id, hi, vi, tq)])
     while True:
-        if pos + 4 > n:
+        if pos + 2 > n:
             raise ValueError("truncated JPEG before SOS")
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -162,6 +174,8 @@ def decode_jpeg(payload: bytes):
         pos += 2
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             continue  # stray SOI / RST outside a scan
+        if marker == 0xD9:  # EOI has no length field
+            raise ValueError("JPEG EOI before SOS")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2:pos + seglen]
         if len(seg) != seglen - 2:
@@ -193,11 +207,18 @@ def decode_jpeg(payload: bytes):
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG precision")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {nc} components (only grayscale and YCbCr)")
             if w <= 0 or h <= 0:
                 raise ValueError("implausible JPEG dimensions")
-            if w * h > MAX_PIXELS:
+            # budget counts PIXEL SLOTS across all component planes (a
+            # crafted nc=3 frame allocates 3 float64 planes), so the
+            # decode buffers stay bounded (~MAX_PIXELS × 8 B) no matter
+            # what the header declares
+            if w * h * nc > MAX_PIXELS:
                 raise ValueError(
-                    f"JPEG pixel budget exceeded: {w}x{h} > {MAX_PIXELS}")
+                    f"JPEG pixel budget exceeded: {w}x{h}x{nc} > {MAX_PIXELS}")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
@@ -241,7 +262,8 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
     planes = []
     meta = []  # (hi, vi, quant, dc_table, ac_table)
     dc_by_cid = {cid: (dt, at) for cid, dt, at in scan}
-    for cid, hi, vi, tq in comps:
+    frame_idx = {}
+    for fi, (cid, hi, vi, tq) in enumerate(comps):
         if tq not in qt:
             raise ValueError("JPEG component references missing quant table")
         if cid not in dc_by_cid:
@@ -252,6 +274,15 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
         planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8),
                                dtype=np.float64))
         meta.append((hi, vi, qt[tq], huff_dc[dt], huff_ac[at]))
+        frame_idx[cid] = fi
+    # entropy blocks arrive in SCAN order (T.81 A.2.3) — decode in that
+    # order, writing each block into ITS component's plane, so a file
+    # whose SOS permutes the SOF component list still decodes correctly
+    scan_indices = []
+    for cs, _dt, _at in scan:
+        if cs not in frame_idx or frame_idx[cs] in scan_indices:
+            raise ValueError("JPEG scan/frame component mismatch")
+        scan_indices.append(frame_idx[cs])
 
     br = _BitReader(payload, pos)
     preds = [0] * len(comps)
@@ -263,7 +294,8 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                 br.align_to_restart()
                 preds = [0] * len(comps)
             n_mcu += 1
-            for ci, (hi, vi, quant, hdc, hac) in enumerate(meta):
+            for ci in scan_indices:
+                hi, vi, quant, hdc, hac = meta[ci]
                 for by in range(vi):
                     for bx in range(hi):
                         coeffs[:] = 0.0

@@ -90,18 +90,22 @@ def _decode_ppm(payload: bytes):
     width, height, maxval = (int(t) for t in tokens)
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    channels = 3 if payload[:2] == b"P6" else 1
+    need = width * height * channels
     # exactly one whitespace delimiter after maxval — but Windows-written
     # files terminate the header with CRLF, which is one delimiter, not a
-    # delimiter plus a pixel byte.  A non-whitespace byte here means the
-    # header is malformed: raise rather than silently shift the pixels.
-    if payload[i:i + 2] == b"\r\n":
+    # delimiter plus a pixel byte.  Ambiguous case: a CR-delimited file
+    # whose FIRST PIXEL is 0x0A also shows "\r\n" here — disambiguate by
+    # size (consume both bytes only if enough pixel data remains; an
+    # exactly-sized CR-delimited file keeps its 0x0A pixel).  A
+    # non-whitespace byte means a malformed header: raise rather than
+    # silently shift the pixels.
+    if payload[i:i + 2] == b"\r\n" and n - (i + 2) >= need:
         i += 2
     elif i < n and payload[i] in b" \t\r\n":
         i += 1
     else:
         raise ValueError("missing whitespace delimiter after PPM maxval")
-    channels = 3 if payload[:2] == b"P6" else 1
-    need = width * height * channels
     data = payload[i:i + need]
     if len(data) < need:
         raise ValueError("truncated PPM pixel data")

@@ -183,3 +183,72 @@ def test_jpeg_through_spark_feature_path(spark):
         assert abs(sum(got[i]["histogram"]) - 1.0) < 1e-3
     assert got[99]["width"] is None and got[99]["histogram"] is None
     assert got[99]["n_bytes"] > 0 and got[99]["content_hash"]
+
+
+def test_review_hardening_round4():
+    """Post-review fixes: multi-plane pixel budget, SOS component-order
+    permutation, EOI-before-SOS diagnosis, struct.error conversion."""
+    from html_parser_spark.operators.jpeg import _BitWriter, _dc_code
+
+    # budget counts pixel slots across ALL planes: 4096x4096x3 passes
+    # the old w*h check but must be rejected now
+    sof3 = _segment(0xC0, struct.pack(">BHHB", 8, 4096, 4096, 3)
+                    + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0])
+                    + bytes([3, 0x11, 0]))
+    with pytest.raises(ValueError, match="pixel budget"):
+        decode_jpeg(b"\xff\xd8" + _dqt_unit() + _dht_synth() + sof3
+                    + _segment(0xDA, bytes([3, 1, 0, 2, 0, 3, 0, 0, 63, 0])))
+    # component counts other than 1/3 are declared out of scope before
+    # any plane allocation
+    sof255 = _segment(0xC0, struct.pack(">BHHB", 8, 4096, 4096, 255)
+                      + bytes([1, 0x11, 0]) * 255)
+    with pytest.raises(NotImplementedError, match="components"):
+        decode_jpeg(b"\xff\xd8" + _dqt_unit() + sof255)
+
+    # SOS may permute the SOF component list; entropy blocks arrive in
+    # SCAN order and must land in the right planes
+    sof = _segment(0xC0, struct.pack(">BHHB", 8, 8, 8, 3)
+                   + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0])
+                   + bytes([3, 0x11, 0]))
+    sos_perm = _segment(0xDA, bytes([3, 3, 0x00, 2, 0x00, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    for level in (0, 0, 25):     # scan order: Cr, Cb, Y
+        _dc_code(bw, 8 * level)
+        bw.write(0, 1)
+    p = (b"\xff\xd8" + _dqt_unit() + _dht_synth() + sof + sos_perm
+         + bw.flush() + b"\xff\xd9")
+    w, h, pix = decode_jpeg(p)
+    assert (w, h) == (8, 8)
+    assert set(pix) == {153}     # Y=153, neutral chroma -> R=G=B=153
+
+    # EOI before any SOS is diagnosed as such (no bogus length read)
+    with pytest.raises(ValueError, match="EOI before SOS"):
+        decode_jpeg(b"\xff\xd8" + _dqt_unit() + b"\xff\xd9")
+
+    # short fixed-layout segment bodies surface as ValueError, never
+    # struct.error / IndexError (documented contract)
+    with pytest.raises(ValueError, match="malformed|truncated"):
+        decode_jpeg(b"\xff\xd8" + _segment(0xDD, b"") + b"\xff\xd9")
+    with pytest.raises(ValueError, match="malformed|truncated"):
+        decode_jpeg(b"\xff\xd8" + _segment(0xC0, b"\x08\x00") + b"\xff\xd9")
+
+
+def test_ppm_cr_delimiter_with_newline_first_pixel():
+    """CR-delimited (classic-Mac) PPM whose first pixel byte is 0x0A:
+    the CRLF consumption is size-disambiguated, so the exactly-sized
+    file keeps its 0x0A pixel instead of raising 'truncated'."""
+    from html_parser_spark.operators.multimodal import decode_real
+
+    # 3x2 gray, first pixel = \n (bin 0), the rest 0x20-0x24 (bin 2) —
+    # a decoder that wrongly consumed "\r\n" would see 5 pixel bytes
+    # for a 6-pixel image and raise 'truncated'
+    pixels = bytes([0x0A, 0x20, 0x21, 0x22, 0x23, 0x24])
+    cr_exact = b"P5\n3 2\n255\r" + pixels
+    w, h, hist = decode_real(cr_exact, "image")
+    assert (w, h) == (3, 2)
+    assert hist[0] == round(1 / 6, 6) and hist[2] == round(5 / 6, 6)
+
+    # with trailing slack, CRLF is preferred (Windows-written file)
+    crlf_slack = b"P5\n3 2\n255\r\n" + bytes(range(6)) + b"extra"
+    w2, h2, hist2 = decode_real(crlf_slack, "image")
+    assert (w2, h2) == (3, 2) and hist2[0] == 1.0
