@@ -674,3 +674,54 @@ def test_ivf_topk_batch_matches_single_and_brute(spark, sf_dir):
         rows.sort()
         brute = [r["vec_id"] for r in cosine_topk(corpus, qvecs[qid], k=3).collect()]
         assert [vid for _, vid in rows] == brute, qid
+
+
+def test_ivf_index_cell_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF docstrings claim cells are a partition column so
+    non-probed cells are pruned at the source — prove it: write the
+    index partitioned by cell, query through it, and check (a) the
+    scan only touches the probed cells' files, (b) the plan carries
+    PartitionFilters, (c) results equal the in-memory path."""
+    import io
+    from contextlib import redirect_stdout
+
+    from html_parser_spark.operators.similarity import (
+        build_ivf_index, ivf_topk, ivf_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") >= 6)
+    indexed, cents = build_ivf_index(corpus, num_cells=8)
+    out = str(tmp_path / "ivf_index")
+    indexed.write.partitionBy("cell").parquet(out)
+    disk = spark.read.parquet(out)
+
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+    # (a) a cell filter only scans the matching cells' files
+    # (input_file_name() must be read pre-shuffle — it is empty after
+    # an exchange, which is also why it can't be read off the top-k)
+    pruned = disk.where(F.col("cell").isin([0, 3]))
+    files = [r[0] for r in
+             pruned.select(F.input_file_name()).distinct().collect()]
+    assert files, "no rows came back"
+    probed = {f.split("cell=")[1].split("/")[0] for f in files}
+    assert probed <= {"0", "3"}, probed
+
+    # (b) the pushed filter reaches the scan as a partition filter
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+    # (c) identical results through the partitioned index — single and
+    # batched paths both
+    top_disk = ivf_topk(disk, cents, q, k=5, nprobe=2)
+    mem = ivf_topk(indexed, cents, q, k=5, nprobe=2).collect()
+    assert top_disk.collect() == mem
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    got_disk = sorted(map(tuple, ivf_topk_batch(disk, cents, queries).collect()))
+    got_mem = sorted(map(tuple, ivf_topk_batch(indexed, cents, queries).collect()))
+    assert got_disk == got_mem

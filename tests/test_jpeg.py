@@ -252,3 +252,33 @@ def test_ppm_cr_delimiter_with_newline_first_pixel():
     crlf_slack = b"P5\n3 2\n255\r\n" + bytes(range(6)) + b"extra"
     w2, h2, hist2 = decode_real(crlf_slack, "image")
     assert (w2, h2) == (3, 2) and hist2[0] == 1.0
+
+
+def test_fuzz_mutations_never_hang_or_leak():
+    """Property fuzz (deterministic seeds): random byte mutations and
+    splices of a valid baseline JPEG either decode to SOME well-formed
+    result or raise ValueError/NotImplementedError — never any other
+    exception, never a hang (the decoder is allocation-bounded, so a
+    pathological input fails fast)."""
+    import hashlib
+
+    base = synth_jpeg_gray([3, -5, 17, 30, -21, 8], 3, 2)
+    n = len(base)
+    for seed in range(400):
+        d = hashlib.md5(b"fuzz%d" % seed).digest()
+        m = bytearray(base)
+        kind = d[0] % 3
+        if kind == 0:                       # flip 1-3 bytes
+            for k in range(1 + d[1] % 3):
+                m[d[2 + 2 * k] % n] = d[3 + 2 * k]
+        elif kind == 1:                     # truncate + garbage tail
+            m = m[: 2 + d[1] % (n - 2)] + bytes(d[2:2 + d[3] % 12])
+        else:                               # splice a chunk of itself
+            a, b = sorted((d[1] % n, d[2] % n))
+            m = m[:a] + m[b:] + m[a:b]
+        try:
+            w, h, pix = decode_jpeg(bytes(m))
+        except (ValueError, NotImplementedError):
+            continue
+        assert 0 < w <= 65535 and 0 < h <= 65535
+        assert len(pix) in (w * h, 3 * w * h)
