@@ -35,6 +35,8 @@ FLOORS = {
     "tests_adoption_agency.dat": (1, 14),
     "tests_adoption_agency2.dat": (13, 37),
     "tests_table_sections.dat": (45, 58),
+    "tests_select.dat": (17, 22),
+    "tests_structure4.dat": (21, 26),
     "tests_attrs_entities.dat": (29, 30),
     "tests_basic.dat": (39, 40),
     "tests_foster_parenting.dat": (12, 20),
@@ -49,7 +51,7 @@ FLOORS = {
     "tests_template.dat": (18, 18),
     "wpt_html5lib_vendored.html": (19, 27),
 }
-TOTAL_FLOOR = 300
+TOTAL_FLOOR = 338
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
