@@ -787,6 +787,43 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_progressive(spark, sf_dir):
+    """REAL progressive-JPEG decode (SOF2, T.81 Annex G) under the
+    value gate: 64 synthesized DC-only grayscale progressive JPEGs —
+    quant DC=8 with DC coefficient k makes block j decode to the EXACT
+    flat value 128 + k_j (k_j = byte j of md5('p'||id) % 64 - 32),
+    while the bit stream exercises the successive-approximation
+    machinery for real (Al=1 DC first scan, raw-bit DC refinement
+    scan, EOB-run AC band scans, restart intervals, band splits).  The
+    oracle reuses multimodal_jpeg_decode's closed-form histogram
+    binning and never parses JPEG."""
+    import hashlib
+
+    from html_parser_spark.operators.jpeg import synth_jpeg_gray_progressive
+    from html_parser_spark.operators.multimodal import ASSET_SCHEMA, extract_features
+
+    rows = []
+    for i in range(64):
+        bw_, bh_ = 2 + i % 3, 1 + i % 2
+        digest = hashlib.md5(f"p{i}".encode()).hexdigest()
+        levels = [int(digest[2 * j:2 * j + 2], 16) % 64 - 32
+                  for j in range(bw_ * bh_)]
+        payload = synth_jpeg_gray_progressive(
+            levels, bw_, bh_, restart_interval=i % 3,
+            split_ac_band=bool(i % 2))
+        rows.append((i, "image", bytearray(payload),
+                     {"src": f"synth://jpeg-prog/{i}"}))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = extract_features(assets, use_real_codec=True)
+    return feats.select(
+        "asset_id", "width", "height",
+        F.round(F.element_at("histogram", 7), 6).alias("share_b6"),
+        F.round(F.element_at("histogram", 8), 6).alias("share_b7"),
+        F.round(F.element_at("histogram", 9), 6).alias("share_b8"),
+        F.round(F.element_at("histogram", 10), 6).alias("share_b9"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -846,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1489,6 +1527,35 @@ def oracle_sql() -> dict[str, str]:
                 select asset_id, bw, bh,
                        128 + cast(concat('0x',
                            substr(md5(cast(asset_id as varchar)),
+                                  1 + 2 * j, 2)) as int) % 64 - 32 as level
+                from a, lateral (select unnest(generate_series(0, bw * bh - 1)) as j)
+            )
+            select asset_id,
+                   cast(max(bw) * 8 as int) as width,
+                   cast(max(bh) * 8 as int) as height,
+                   round(sum(case when level // 16 = 6 then 1.0 else 0 end)
+                         / count(*), 6) as share_b6,
+                   round(sum(case when level // 16 = 7 then 1.0 else 0 end)
+                         / count(*), 6) as share_b7,
+                   round(sum(case when level // 16 = 8 then 1.0 else 0 end)
+                         / count(*), 6) as share_b8,
+                   round(sum(case when level // 16 = 9 then 1.0 else 0 end)
+                         / count(*), 6) as share_b9
+            from blocks group by asset_id
+        """,
+        # identical closed-form binning to multimodal_jpeg_decode; the
+        # levels derive from md5('p' || id) and the payloads are SOF2
+        # progressive (Al=1 DC + refinement + EOB-run AC scans) — the
+        # decoded pixels are the same exact flat 128+k blocks
+        "multimodal_jpeg_progressive": """
+            with a as (
+                select i as asset_id,
+                       2 + i % 3 as bw, 1 + i % 2 as bh
+                from (select unnest(generate_series(0, 63)) as i)
+            ), blocks as (
+                select asset_id, bw, bh,
+                       128 + cast(concat('0x',
+                           substr(md5(concat('p', cast(asset_id as varchar))),
                                   1 + 2 * j, 2)) as int) % 64 - 32 as level
                 from a, lateral (select unnest(generate_series(0, bw * bh - 1)) as j)
             )

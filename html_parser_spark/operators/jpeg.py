@@ -1,14 +1,17 @@
-"""Baseline-sequential JPEG decode, stdlib + numpy only.
+"""Baseline-sequential + progressive JPEG decode, stdlib + numpy only.
 
 Closes the "most common real web image format" gap flagged since round
 1 (reference scope: the engine treats media as opaque binary + typed
 features, SURVEY.md §2 Table B): an honest pure-Python implementation
-of ITU-T T.81 baseline sequential DCT — marker parse, table-driven
-canonical Huffman entropy decode (byte stuffing + restart markers),
+of ITU-T T.81 DCT decode — marker parse, table-driven canonical
+Huffman entropy decode (byte stuffing + restart markers),
 dequantization, inverse zigzag, separable float IDCT (orthonormal
 8×8 DCT basis via numpy), nearest-neighbor chroma upsampling, and the
-JFIF YCbCr→RGB transform.  Out of scope (raises NotImplementedError,
-never garbage): progressive (SOF2), arithmetic coding (SOF9+),
+JFIF YCbCr→RGB transform.  Both frame types the web actually uses are
+supported: baseline sequential (SOF0/1) and progressive (SOF2, T.81
+Annex G — spectral-selection bands, successive-approximation DC/AC
+refinement with EOB runs and correction bits).  Out of scope (raises
+NotImplementedError, never garbage): arithmetic coding (SOF9+),
 hierarchical, 12-bit precision.
 
 Hardening mirrors the PNG decoder's contract: a total pixel budget is
@@ -141,7 +144,7 @@ def _idct_block(coeffs: "np.ndarray") -> "np.ndarray":
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline-sequential JPEG; returns
+    """Decode a baseline-sequential or progressive JPEG; returns
     (width, height, pixel_bytes) where pixel_bytes is the grayscale
     plane (1 component) or interleaved RGB (3 components).
 
@@ -165,6 +168,8 @@ def _decode_markers(payload: bytes):
     huff_ac = {}
     restart_interval = 0
     frame = None       # (w, h, [(comp_id, hi, vi, tq)])
+    progressive = False
+    store = None       # progressive only: per-comp (nby, nbx, 64) int32
     while True:
         if pos + 2 > n:
             raise ValueError("truncated JPEG before SOS")
@@ -175,6 +180,9 @@ def _decode_markers(payload: bytes):
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             continue  # stray SOI / RST outside a scan
         if marker == 0xD9:  # EOI has no length field
+            if store is not None:
+                # progressive: all scans accumulated — render now
+                return _render_progressive(frame, store, qt)
             raise ValueError("JPEG EOI before SOS")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2:pos + seglen]
@@ -203,7 +211,7 @@ def _decode_markers(payload: bytes):
                 table = _Huffman(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG precision")
@@ -224,26 +232,35 @@ def _decode_markers(payload: bytes):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}: progressive/"
-                "arithmetic/hierarchical) needs a codec this engine "
-                "doesn't ship")
+                f"non-baseline JPEG (SOF marker 0x{marker:02x}: "
+                "arithmetic/hierarchical/lossless) needs a codec this "
+                "engine doesn't ship")
         elif marker == 0xDD:        # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:        # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS header")
             scan = []
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            return _decode_scan(payload, body_at, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
-        elif marker == 0xD9:        # EOI before any scan
-            raise ValueError("JPEG EOI before SOS")
+            if not progressive:
+                return _decode_scan(payload, body_at, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            aa = seg[3 + 2 * ns]
+            band = (seg[1 + 2 * ns], seg[2 + 2 * ns], aa >> 4, aa & 0xF)
+            if store is None:
+                store = _init_prog_store(frame)
+            pos = _decode_prog_scan(payload, body_at, frame, scan, band,
+                                    huff_dc, huff_ac, restart_interval,
+                                    store)
         # else: APPn / COM / others — skipped via seglen
 
 
@@ -326,8 +343,15 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                         x0 = (mx * hi + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
 
+    samps = [(hi, vi) for hi, vi, *_rest in meta]
+    return _finish_planes(planes, samps, hmax, vmax, w, h)
+
+
+def _finish_planes(planes, samps, hmax, vmax, w, h):
+    """Shared render epilogue: clip, nearest-neighbor chroma upsample,
+    crop to declared dims, JFIF YCbCr->RGB when 3 components."""
     out_planes = []
-    for ci, (hi, vi, *_rest) in enumerate(meta):
+    for ci, (hi, vi) in enumerate(samps):
         p = np.clip(np.round(planes[ci]), 0, 255)
         # nearest-neighbor upsample to full resolution, then crop
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
@@ -343,6 +367,249 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — T.81 Annex G.  Scans accumulate coefficients per
+# component in MCU-padded block grids; rendering happens once, at EOI.
+# The successive-approximation refinement logic mirrors the de-facto
+# standard decoder behavior (libjpeg jdphuff) which real-world encoders
+# target, including the two's-complement `& p1` already-set guard.
+# ---------------------------------------------------------------------------
+
+
+def _geometry(frame):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise NotImplementedError("JPEG sampling factors beyond 2x2")
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _comp_blocks(frame, ci):
+    """Block-grid dims of component ci for a NON-interleaved scan:
+    ceil(component samples / 8) per axis (T.81 A.2.2)."""
+    w, h, comps = frame
+    hmax, vmax, _, _ = _geometry(frame)
+    _cid, hi, vi, _tq = comps[ci]
+    return -(-(-(-w * hi // hmax)) // 8), -(-(-(-h * vi // vmax)) // 8)
+
+
+def _init_prog_store(frame):
+    w, h, comps = frame
+    _hmax, _vmax, mcux, mcuy = _geometry(frame)
+    total = sum(mcux * hi * mcuy * vi * 64 for _cid, hi, vi, _tq in comps)
+    if total > 4 * MAX_PIXELS:  # belt+braces atop the SOF pixel budget
+        raise ValueError("JPEG coefficient budget exceeded")
+    return [np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+            for _cid, hi, vi, _tq in comps]
+
+
+def _next_marker(data, p):
+    """Position of the next marker after entropy data: skips stuffed
+    0xFF00 pairs and 0xFF fill bytes."""
+    n = len(data)
+    while p < n - 1:
+        if data[p] != 0xFF:
+            p += 1
+        elif data[p + 1] == 0x00:
+            p += 2
+        elif data[p + 1] == 0xFF:
+            p += 1
+        else:
+            return p
+    raise ValueError("truncated JPEG after progressive scan")
+
+
+def _decode_prog_scan(payload, pos, frame, scan, band, huff_dc, huff_ac,
+                      restart_interval, store):
+    ss, se, ah, al = band
+    _w, _h, comps = frame
+    frame_idx = {cid: fi for fi, (cid, _hi, _vi, _tq) in enumerate(comps)}
+    indices = []
+    for cs, _dt, _at in scan:
+        if cs not in frame_idx or frame_idx[cs] in indices:
+            raise ValueError("JPEG scan/frame component mismatch")
+        indices.append(frame_idx[cs])
+    if not 0 <= ss <= se <= 63 or al > 13 or ah > 13:
+        raise ValueError("invalid JPEG progressive band")
+    if ss == 0 and se != 0:
+        raise ValueError("invalid JPEG progressive band (DC+AC mixed scan)")
+    br = _BitReader(payload, pos)
+    if ss == 0:
+        _prog_dc_scan(br, frame, scan, indices, ah, al, huff_dc,
+                      restart_interval, store)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        _cs, _dt, at = scan[0]
+        if at not in huff_ac:  # refinement also Huffman-decodes run/EOB
+            raise ValueError("JPEG scan references missing Huffman table")
+        _prog_ac_scan(br, frame, indices[0], ss, se, ah, al, huff_ac[at],
+                      restart_interval, store)
+    return _next_marker(payload, br.pos)
+
+
+def _prog_dc_block(br, blk, table, preds, ci, ah, al):
+    if ah == 0:
+        s = table.decode(br)
+        if s > 11:
+            raise ValueError("invalid JPEG DC category")
+        diff = _extend(br.bits(s), s) if s else 0
+        preds[ci] += diff
+        blk[0] = preds[ci] << al
+    elif br.bits(1):
+        blk[0] |= 1 << al
+
+
+def _prog_dc_scan(br, frame, scan, indices, ah, al, huff_dc,
+                  restart_interval, store):
+    _w, _h, comps = frame
+    _hmax, _vmax, mcux, mcuy = _geometry(frame)
+    tables = {}
+    if ah == 0:
+        for (cs, dt, _at), ci in zip(scan, indices):
+            if dt not in huff_dc:
+                raise ValueError("JPEG scan references missing Huffman table")
+            tables[ci] = huff_dc[dt]
+    preds = {ci: 0 for ci in indices}
+    n = 0
+    if len(indices) == 1:
+        ci = indices[0]
+        nbx, nby = _comp_blocks(frame, ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n and n % restart_interval == 0:
+                    br.align_to_restart()
+                    preds[ci] = 0
+                n += 1
+                _prog_dc_block(br, store[ci][by, bx], tables.get(ci),
+                               preds, ci, ah, al)
+        return
+    if len(indices) != len(comps):
+        raise NotImplementedError("partially interleaved progressive DC scan")
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n and n % restart_interval == 0:
+                br.align_to_restart()
+                preds = {ci: 0 for ci in indices}
+            n += 1
+            for ci in indices:
+                _cid, hi, vi, _tq = comps[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        _prog_dc_block(br, store[ci][my * vi + by,
+                                                     mx * hi + bx],
+                                       tables.get(ci), preds, ci, ah, al)
+
+
+def _prog_ac_first(br, blk, ss, se, al, eobrun, table):
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = table.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:      # EOBn: run of (1<<r)+bits(r) EOB blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16         # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflow")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _prog_ac_refine(br, blk, ss, se, al, eobrun, table):
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = table.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients (below)
+            elif s == 1:
+                val = p1 if br.bits(1) else m1
+            else:
+                raise ValueError("invalid JPEG AC refinement size")
+            # advance past r zero-history coefficients, emitting
+            # correction bits for nonzero-history ones along the way
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.bits(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                elif r == 0:
+                    break
+                else:
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if br.bits(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_ac_scan(br, frame, ci, ss, se, ah, al, table, restart_interval,
+                  store):
+    nbx, nby = _comp_blocks(frame, ci)
+    grid = store[ci]
+    eobrun = 0
+    n = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and n and n % restart_interval == 0:
+                br.align_to_restart()
+                eobrun = 0
+            n += 1
+            if ah == 0:
+                eobrun = _prog_ac_first(br, grid[by, bx], ss, se, al,
+                                        eobrun, table)
+            else:
+                eobrun = _prog_ac_refine(br, grid[by, bx], ss, se, al,
+                                         eobrun, table)
+
+
+def _render_progressive(frame, store, qt):
+    w, h, comps = frame
+    hmax, vmax, _mcux, _mcuy = _geometry(frame)
+    planes = []
+    samps = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError("JPEG component references missing quant table")
+        deq = store[ci].astype(np.float64) * qt[tq][None, None, :]
+        nby, nbx = deq.shape[:2]
+        fblk = np.zeros((nby, nbx, 64))
+        fblk[..., ZIGZAG] = deq    # inverse zigzag, all blocks at once
+        fblk = fblk.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ij,ybjk,kl->ybil", _C.T, fblk, _C) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+        samps.append((hi, vi))
+    return _finish_planes(planes, samps, hmax, vmax, w, h)
 
 
 # ---------------------------------------------------------------------------
@@ -436,6 +703,81 @@ def synth_jpeg_gray(levels, blocks_w: int, blocks_h: int,
         bw.write(0, 1)  # EOB (synth AC code for 0x00 is the 1-bit code 0)
     return (b"\xff\xd8" + _dqt_unit() + _dht_synth() + dri + sof + sos
             + bw.flush() + b"\xff\xd9")
+
+
+def synth_jpeg_gray_progressive(levels, blocks_w: int, blocks_h: int,
+                                restart_interval: int = 0,
+                                split_ac_band: bool = False) -> bytes:
+    """Progressive (SOF2) grayscale JPEG exercising all three scan
+    kinds: a DC first scan at Al=1, a DC successive-approximation
+    refinement scan (Ah=1, Al=0) whose raw bits are genuinely nonzero
+    for odd levels, and AC first scan(s) that are pure EOB runs (two
+    band-split scans when ``split_ac_band``).  Quant: DC=8, AC=1, and
+    the DC COEFFICIENT is k itself, so block j still decodes to the
+    EXACT flat value ``128 + levels[j]`` — the same closed-form oracle
+    contract as ``synth_jpeg_gray``.  With ``restart_interval`` r, a
+    DRI segment is written and every scan restarts each r blocks (EOB
+    runs never cross a restart boundary)."""
+    assert len(levels) == blocks_w * blocks_h
+    assert all(-32 <= int(lv) <= 31 for lv in levels)
+    w, h = 8 * blocks_w, 8 * blocks_h
+    dqt = _segment(0xDB, bytes([0x00]) + bytes([8] + [1] * 63))
+    # AC table: the 15 EOBn symbols 0x00..0xE0 as 4-bit canonical codes
+    ac_bits = [0, 0, 0, 15] + [0] * 12
+    ac_vals = [r << 4 for r in range(15)]
+    dht = _segment(0xC4, bytes([0x00]) + bytes(_SYNTH_DC_BITS)
+                   + bytes(_SYNTH_DC_VALS)
+                   + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sof = _segment(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dri = (_segment(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    n = len(levels)
+    ri = restart_interval or n
+
+    def scan_hdr(ss, se, ah, al):
+        return _segment(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first at Al=1 — codes diffs of (k >> 1); the arithmetic
+    # shift matches the decoder's  coef = pred << Al  reconstruction
+    bw = _BitWriter()
+    pred = rst = 0
+    for j, lv in enumerate(levels):
+        if restart_interval and j and j % ri == 0:
+            bw.restart(rst)
+            rst += 1
+            pred = 0
+        v = int(lv) >> 1
+        _dc_code(bw, v - pred)
+        pred = v
+    scans = scan_hdr(0, 0, 0, 1) + bw.flush()
+    # scan 2: DC refinement — one raw bit (k & 1) per block, no Huffman
+    bw = _BitWriter()
+    rst = 0
+    for j, lv in enumerate(levels):
+        if restart_interval and j and j % ri == 0:
+            bw.restart(rst)
+            rst += 1
+        bw.write(int(lv) & 1, 1)
+    scans += scan_hdr(0, 0, 1, 0) + bw.flush()
+    # AC first scan(s): every block is end-of-band — encoded as EOBn
+    # runs, chunked so a run never crosses a restart boundary
+    bands = ((1, 31), (32, 63)) if split_ac_band else ((1, 63),)
+    for ss, se in bands:
+        bw = _BitWriter()
+        rst = 0
+        j = 0
+        while j < n:
+            if restart_interval and j:
+                bw.restart(rst)
+                rst += 1
+            run = min(ri, n - j)
+            r = run.bit_length() - 1   # EOBr covers (1<<r)+extra blocks
+            bw.write(r, 4)             # canonical code for EOBr is r
+            if r:
+                bw.write(run - (1 << r), r)
+            j += run
+        scans += scan_hdr(ss, se, 0, 0) + bw.flush()
+    return b"\xff\xd8" + dqt + dht + dri + sof + scans + b"\xff\xd9"
 
 
 def synth_jpeg_color(levels, blocks_w: int, blocks_h: int,

@@ -2,11 +2,11 @@
 
 ``decode_real`` REALLY decodes the formats this engine can handle
 with no external codec — PPM/PGM (P6/P5), 24-bit uncompressed BMP,
-8-bit PNG (zlib inflate + full filter reconstruction),
-baseline-sequential JPEG (pure-Python Huffman + dequant + IDCT, see
+8-bit PNG (zlib inflate + full filter reconstruction), baseline and
+progressive JPEG (pure-Python Huffman + dequant + IDCT, see
 ``jpeg.py``), and PCM WAV audio (stdlib ``wave``) — and raises
 ``NotImplementedError`` for formats that genuinely need codecs this
-container doesn't ship (progressive/arithmetic JPEG, MP3, H.264).  A
+container doesn't ship (arithmetic-coded JPEG, MP3, H.264).  A
 deterministic ``fake_decode`` remains for opaque test payloads.
 Everything Spark-side — schema, Arrow batch shape, ``mapInPandas``
 signatures, partitioning — is shared by both paths; the real-decode
@@ -249,10 +249,10 @@ def _decode_wav(payload: bytes):
 
 def decode_real(payload: bytes, kind: str):
     """Codec-free real decode: PPM/PGM, 24bpp BMP, 8-bit PNG
-    (zlib inflate + filter reconstruction), baseline-sequential JPEG
+    (zlib inflate + filter reconstruction), baseline + progressive JPEG
     (pure-Python Huffman + dequant + IDCT), PCM WAV.  Returns
     (width, height, 16-bin histogram); raises NotImplementedError for
-    formats needing external codecs (progressive JPEG/MP3/H.264/...)."""
+    formats needing external codecs (arithmetic JPEG/MP3/H.264/...)."""
     magic = payload[:4]
     if magic[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
@@ -269,8 +269,8 @@ def decode_real(payload: bytes, kind: str):
         return _decode_wav(payload)
     raise NotImplementedError(
         f"no codec-free decoder for payload magic {magic!r}; "
-        "transform-coded audio/video (MP3/H.264) and non-baseline JPEG "
-        "need external codecs this container doesn't ship"
+        "transform-coded audio/video (MP3/H.264) and arithmetic-coded "
+        "JPEG need external codecs this container doesn't ship"
     )
 
 

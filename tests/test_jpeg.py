@@ -13,8 +13,9 @@ import numpy as np
 import pytest
 
 from html_parser_spark.operators.jpeg import (
-    _C, ZIGZAG, _BitWriter, _dht_synth, _dqt_unit, _segment, decode_jpeg,
-    synth_jpeg_color, synth_jpeg_gray,
+    _C, _SYNTH_DC_BITS, _SYNTH_DC_VALS, ZIGZAG, _BitWriter, _dht_synth,
+    _dqt_unit, _segment, decode_jpeg, synth_jpeg_color, synth_jpeg_gray,
+    synth_jpeg_gray_progressive,
 )
 
 
@@ -121,6 +122,73 @@ def test_general_ac_path_vs_direct_idct():
     assert len(set(pix)) > 2  # genuinely non-flat: AC terms took effect
 
 
+def test_progressive_dc_roundtrips_exact():
+    """Progressive (SOF2) decode is pixel-identical to the baseline
+    decode of the same DC levels across every scan-shape variant:
+    restart intervals (predictor + EOB-run reset per interval) and a
+    band-split AC scan pair.  Odd levels make the DC refinement scan's
+    raw bits genuinely nonzero."""
+    levels = [0, 7, -7, 10, -21, 31, -32, 5]
+    base = decode_jpeg(synth_jpeg_gray(levels, 4, 2))
+    for ri in (0, 1, 2, 3):
+        for split in (False, True):
+            p = synth_jpeg_gray_progressive(levels, 4, 2,
+                                            restart_interval=ri,
+                                            split_ac_band=split)
+            assert p.index(b"\xff\xc2") > 0  # really SOF2
+            assert decode_jpeg(p) == base, (ri, split)
+
+
+def test_progressive_ac_refinement_vs_direct_idct():
+    """Hand-built single-block progressive JPEG exercising the AC
+    successive-approximation path: an Al=1 first scan (coeffs at half
+    magnitude), then an Ah=1/Al=0 refinement scan with correction bits
+    for the existing coefficients and a NEWLY-significant coefficient
+    behind a zero-history run — must match a direct dequant → inverse
+    zigzag → IDCT reference of the final coefficients."""
+    ac_vals = [0x00, 0x01, 0x11, 0xF0, 0x21]  # EOB,(0,1),(1,1),ZRL,(2,1)
+    dht = _segment(0xC4, (bytes([0x00]) + bytes(_SYNTH_DC_BITS)
+                          + bytes(_SYNTH_DC_VALS)
+                          + bytes([0x10]) + bytes([0, 0, 5] + [0] * 13)
+                          + bytes(ac_vals)))
+    dqt = _segment(0xDB, bytes([0x00]) + bytes([2] + [3] * 63))
+    sof = _segment(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+
+    def hdr(ss, se, ah, al):
+        return _segment(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    bw = _BitWriter()
+    bw.write(0, 4)          # DC first scan (Al=1): DC=0 -> category 0
+    dc1 = hdr(0, 0, 0, 1) + bw.flush()
+    bw = _BitWriter()       # AC first (Al=1): |3|>>1=+1 at k=1,
+    bw.write(0b001, 3)      # |−2|>>1=−1 at k=3, c5 still invisible
+    bw.write(1, 1)
+    bw.write(0b010, 3)
+    bw.write(0, 1)
+    bw.write(0b000, 3)      # EOB
+    ac1 = hdr(1, 63, 0, 1) + bw.flush()
+    bw = _BitWriter()       # AC refine (Ah=1): (2,1) newly significant
+    bw.write(0b100, 3)      # +1 at k=5 behind a 2-zero-history run,
+    bw.write(1, 1)          # sign +
+    bw.write(1, 1)          # correction k=1: |3| bit0 = 1  -> 2 -> 3
+    bw.write(0, 1)          # correction k=3: |−2| bit0 = 0 -> stays −2
+    bw.write(0b000, 3)      # EOB
+    ac2 = hdr(1, 63, 1, 0) + bw.flush()
+    p = b"\xff\xd8" + dqt + dht + sof + dc1 + ac1 + ac2 + b"\xff\xd9"
+
+    w, h, pix = decode_jpeg(p)
+    assert (w, h) == (8, 8)
+    coeffs = np.zeros(64)
+    coeffs[1] = 3 * 3
+    coeffs[3] = -2 * 3
+    coeffs[5] = 1 * 3
+    F = np.zeros((8, 8))
+    F.flat[ZIGZAG] = coeffs
+    want = np.clip(np.round(_C.T @ F @ _C + 128.0), 0, 255).astype(np.uint8)
+    assert pix == want.tobytes()
+    assert len(set(pix)) > 2
+
+
 def test_hostile_payloads():
     levels = [1, 2, 3, 4]
     p = synth_jpeg_gray(levels, 2, 2)
@@ -135,12 +203,19 @@ def test_hostile_payloads():
             continue
         assert got == full, cut
 
-    # progressive is declared out of scope, not mis-decoded
+    # a baseline stream relabeled SOF2 declares a DC scan spanning
+    # Ss=0..Se=63 — invalid progressive band, rejected not mis-decoded
     prog = bytearray(p)
     i = prog.index(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError, match="progressive band"):
         decode_jpeg(bytes(prog))
+
+    # arithmetic coding stays honestly out of scope
+    arith = bytearray(p)
+    arith[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(arith))
 
     # pixel budget: huge declared dims rejected before any allocation
     sof_huge = _segment(0xC0, struct.pack(">BHHB", 8, 65000, 65000, 1)
@@ -170,11 +245,13 @@ def test_jpeg_through_spark_feature_path(spark):
     rows = []
     for i in range(8):
         levels = [(i * 13 + j * 7) % 64 - 32 for j in range(4)]
-        rows.append((i, "image", bytearray(synth_jpeg_gray(levels, 2, 2)), None))
-    # a progressive payload must yield NULL features, not a task failure
-    prog = bytearray(synth_jpeg_gray([0, 1, 2, 3], 2, 2))
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
-    rows.append((99, "image", prog, None))
+        synth = (synth_jpeg_gray_progressive if i % 2 else synth_jpeg_gray)
+        rows.append((i, "image", bytearray(synth(levels, 2, 2)), None))
+    # an arithmetic-coded payload must yield NULL features, not a task
+    # failure (progressive now decodes for real — odd assets above)
+    arith = bytearray(synth_jpeg_gray([0, 1, 2, 3], 2, 2))
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9
+    rows.append((99, "image", arith, None))
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)
     got = {r["asset_id"]: r for r in
            extract_features(assets, use_real_codec=True).collect()}
@@ -262,10 +339,13 @@ def test_fuzz_mutations_never_hang_or_leak():
     pathological input fails fast)."""
     import hashlib
 
-    base = synth_jpeg_gray([3, -5, 17, 30, -21, 8], 3, 2)
-    n = len(base)
+    bases = [synth_jpeg_gray([3, -5, 17, 30, -21, 8], 3, 2),
+             synth_jpeg_gray_progressive([3, -5, 17, 30, -21, 8], 3, 2,
+                                         restart_interval=2)]
     for seed in range(400):
         d = hashlib.md5(b"fuzz%d" % seed).digest()
+        base = bases[seed % 2]
+        n = len(base)
         m = bytearray(base)
         kind = d[0] % 3
         if kind == 0:                       # flip 1-3 bytes
