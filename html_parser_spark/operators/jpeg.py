@@ -269,12 +269,7 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
     w, h, comps = frame
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan JPEG (non-interleaved)")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax not in (1, 2) or vmax not in (1, 2):
-        raise NotImplementedError("JPEG sampling factors beyond 2x2")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    hmax, vmax, mcux, mcuy = _geometry(frame)
     # per-component plane buffers at component resolution
     planes = []
     meta = []  # (hi, vi, quant, dc_table, ac_table)
@@ -458,6 +453,11 @@ def _prog_dc_block(br, blk, table, preds, ci, ah, al):
             raise ValueError("invalid JPEG DC category")
         diff = _extend(br.bits(s), s) if s else 0
         preds[ci] += diff
+        # a legit 8-bit DC predictor never exceeds 2047 even unshifted;
+        # corrupt streams can accumulate past int32 (numpy would raise
+        # OverflowError on assignment, breaking the ValueError contract)
+        if abs(preds[ci]) > (1 << 17):
+            raise ValueError("JPEG DC predictor out of range")
         blk[0] = preds[ci] << al
     elif br.bits(1):
         blk[0] |= 1 << al

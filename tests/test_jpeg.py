@@ -239,6 +239,26 @@ def test_hostile_payloads():
         decode_jpeg(bytes(grown))
 
 
+def test_progressive_dc_predictor_overflow_guard():
+    """A corrupt progressive stream that keeps adding max-category DC
+    diffs at a high point transform would push the predictor past
+    int32 (numpy would raise OverflowError on assignment) — the
+    decoder must surface the documented ValueError instead."""
+    from html_parser_spark.operators.jpeg import _dc_code
+
+    bw_, bh_ = 17, 8   # 136 blocks x 2047 diff >> the 1<<17 bound
+    sof = _segment(0xC2, struct.pack(">BHHB", 8, 8 * bh_, 8 * bw_, 1)
+                   + bytes([1, 0x11, 0]))
+    sos = _segment(0xDA, bytes([1, 1, 0x00, 0, 0, 13]))  # DC first, Al=13
+    bw = _BitWriter()
+    for _ in range(bw_ * bh_):
+        _dc_code(bw, 2047)
+    p = (b"\xff\xd8" + _dqt_unit() + _dht_synth() + sof + sos
+         + bw.flush() + b"\xff\xd9")
+    with pytest.raises(ValueError, match="DC predictor"):
+        decode_jpeg(p)
+
+
 def test_jpeg_through_spark_feature_path(spark):
     from html_parser_spark.operators.multimodal import ASSET_SCHEMA, extract_features
 
