@@ -40,6 +40,14 @@ FLOORS = {
     # svg-subtree-opaque is the REFERENCE's own design (findSvgSubtreeEnd
     # skips the subtree) — these cases document the shared quirk
     "tests_foreign2_frameset.dat": (6, 18),
+    # failures: xmp/iframe/noframes/noembed not raw-text (documented),
+    # <image> not renamed to img (no token renaming), and `</textarea d>`
+    # not closing raw text — the reference's own findRawTextClose
+    # (parser.zig:512-516) allows only whitespace before `>`
+    "tests_rawtext2_comments.dat": (26, 32),
+    # failures: implied colgroup, foster parenting, active-formatting
+    # reconstruction — all documented divergence classes
+    "tests_lists_blocks.dat": (29, 32),
     "tests_attrs_entities.dat": (29, 30),
     "tests_basic.dat": (39, 40),
     "tests_foster_parenting.dat": (12, 20),
@@ -54,7 +62,7 @@ FLOORS = {
     "tests_template.dat": (18, 18),
     "wpt_html5lib_vendored.html": (19, 27),
 }
-TOTAL_FLOOR = 344
+TOTAL_FLOOR = 399
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
