@@ -48,6 +48,17 @@ FLOORS = {
     # failures: implied colgroup, foster parenting, active-formatting
     # reconstruction — all documented divergence classes
     "tests_lists_blocks.dat": (29, 32),
+    # failures are reference-design quirks, each pinned to source:
+    # quote-respecting tag-end scan swallows a stray quote in an
+    # unquoted attr (findTagEndRespectQuotes), unterminated tag at EOF
+    # still materialized, stray end tags never synthesize elements
+    # (</p>, </br>), permissive tag-name scanner accepts non-letter
+    # starts (tables.zig:41-43 isTagNameChar), svg subtree opaque
+    "tests_attrs_eof_quirks.dat": (23, 32),
+    # failures: stray table tags (td/tr/caption/col/tbody) kept as
+    # elements in body — the reference has no insertion-mode machinery
+    # to drop them (parser.zig parse loop)
+    "tests_inline_misc.dat": (26, 31),
     "tests_attrs_entities.dat": (29, 30),
     "tests_basic.dat": (39, 40),
     "tests_foster_parenting.dat": (12, 20),
@@ -62,7 +73,7 @@ FLOORS = {
     "tests_template.dat": (18, 18),
     "wpt_html5lib_vendored.html": (19, 27),
 }
-TOTAL_FLOOR = 399
+TOTAL_FLOOR = 448
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
