@@ -824,6 +824,33 @@ def q_multimodal_jpeg_progressive(spark, sf_dir):
     )
 
 
+def q_multimodal_gif_decode(spark, sf_dir):
+    """REAL GIF decode under the value gate: 64 synthesized GIF89a
+    frames whose pixel indices are the ASCII md5 hexdigest of the id
+    over a 128-entry identity-gray palette (entry k = (k,k,k)), so the
+    decoded RGB stream is each hexdigest char exactly three times.
+    The pipeline runs the actual LZW + palette + de-interlace decoder
+    (use_real_codec=True; odd ids are interlaced, every third id uses
+    a local color table); the oracle reconstructs the hexdigest pixel
+    string in SQL and derives width/height plus the digit ('0'-'9',
+    histogram bin 3) and hex-alpha ('a'-'f', bin 6) shares in closed
+    form without ever parsing GIF."""
+    from html_parser_spark.operators.gif import synth_gif
+    from html_parser_spark.operators.multimodal import ASSET_SCHEMA, extract_features
+
+    rows = []
+    for i in range(64):
+        payload = synth_gif(i, interlace=bool(i % 2), local_palette=(i % 3 == 0))
+        rows.append((i, "image", bytearray(payload), {"src": f"synth://gif/{i}"}))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = extract_features(assets, use_real_codec=True)
+    return feats.select(
+        "asset_id", "width", "height",
+        F.round(F.element_at("histogram", 4), 6).alias("digit_share"),
+        F.round(F.element_at("histogram", 7), 6).alias("alpha_share"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -884,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1571,6 +1599,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(case when level // 16 = 9 then 1.0 else 0 end)
                          / count(*), 6) as share_b9
             from blocks group by asset_id
+        """,
+        # GIF twin: pixel indices are the ASCII md5 hexdigest chars of
+        # the id (all < 0x80) through an identity-gray palette, so the
+        # decoded RGB is each char exactly 3x and the 16-bin histogram
+        # shares equal the char-class shares of the hexdigest string —
+        # digits land in bin 3 (0x30-0x39), 'a'-'f' in bin 6
+        "multimodal_gif_decode": """
+            with a as (
+                select i as asset_id, (8 + i % 5) as w, (6 + i % 4) as h
+                from (select unnest(generate_series(0, 63)) as i)
+            ), c as (
+                select asset_id, w, h, w * h as np,
+                       substr(repeat(md5(cast(asset_id as varchar)),
+                                     cast(ceil(w * h / 32.0) + 1 as int)),
+                              1, w * h) as pix
+                from a
+            )
+            select asset_id, w as width, h as height,
+                   round(cast(len(regexp_replace(pix, '[^0-9]', '', 'g')) as double)
+                         / np, 6) as digit_share,
+                   round(cast(len(regexp_replace(pix, '[^a-f]', '', 'g')) as double)
+                         / np, 6) as alpha_share
+            from c
         """,
         "multimodal_real_decode": """
             with a as (

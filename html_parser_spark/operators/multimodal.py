@@ -4,7 +4,9 @@
 with no external codec — PPM/PGM (P6/P5), 24-bit uncompressed BMP,
 8-bit PNG (zlib inflate + full filter reconstruction), baseline and
 progressive JPEG (pure-Python Huffman + dequant + IDCT, see
-``jpeg.py``), and PCM WAV audio (stdlib ``wave``) — and raises
+``jpeg.py``), GIF87a/89a (pure-Python LZW + palette mapping +
+interlace, see ``gif.py``), and PCM WAV audio (stdlib ``wave``) —
+and raises
 ``NotImplementedError`` for formats that genuinely need codecs this
 container doesn't ship (arithmetic-coded JPEG, MP3, H.264).  A
 deterministic ``fake_decode`` remains for opaque test payloads.
@@ -250,9 +252,10 @@ def _decode_wav(payload: bytes):
 def decode_real(payload: bytes, kind: str):
     """Codec-free real decode: PPM/PGM, 24bpp BMP, 8-bit PNG
     (zlib inflate + filter reconstruction), baseline + progressive JPEG
-    (pure-Python Huffman + dequant + IDCT), PCM WAV.  Returns
-    (width, height, 16-bin histogram); raises NotImplementedError for
-    formats needing external codecs (arithmetic JPEG/MP3/H.264/...)."""
+    (pure-Python Huffman + dequant + IDCT), GIF87a/89a (LZW + palette),
+    PCM WAV.  Returns (width, height, 16-bin histogram); raises
+    NotImplementedError for formats needing external codecs
+    (arithmetic JPEG/MP3/H.264/...)."""
     magic = payload[:4]
     if magic[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
@@ -264,6 +267,11 @@ def decode_real(payload: bytes, kind: str):
         from .jpeg import decode_jpeg
 
         w, h, pixels = decode_jpeg(payload)
+        return w, h, _byte_histogram(pixels)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        w, h, pixels = decode_gif(payload)
         return w, h, _byte_histogram(pixels)
     if magic == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
