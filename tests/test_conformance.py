@@ -32,6 +32,15 @@ from tools.conformance import FIXTURE_DIR, load_dat, load_suite, run_suite
 # adoption-agency formatting clones (tests_adoption_agency2) — both on
 # the reference's own documented divergence list (BASELINE.md).
 FLOORS = {
+    # ruby rb/rt/rp/rtc + dl/li implied-closure chains — full pass
+    "tests_ruby_dl.dat": (28, 28),
+    # failures: nested <form> kept as an element — the reference has no
+    # form-element-pointer state (same no-parser-state class as the
+    # stray-table-tag quirk)
+    "tests_forms_buttons.dat": (26, 28),
+    # failures: xmp/iframe/noframes/noembed not raw text — the
+    # reference's documented raw-text set (tables.zig) excludes them
+    "tests_plaintext_rawtext.dat": (26, 30),
     "tests_adoption_agency.dat": (1, 14),
     "tests_adoption_agency2.dat": (13, 37),
     "tests_table_sections.dat": (45, 58),
@@ -73,7 +82,7 @@ FLOORS = {
     "tests_template.dat": (18, 18),
     "wpt_html5lib_vendored.html": (19, 27),
 }
-TOTAL_FLOOR = 448
+TOTAL_FLOOR = 528
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
