@@ -41,6 +41,10 @@ FLOORS = {
     # failures: xmp/iframe/noframes/noembed not raw text — the
     # reference's documented raw-text set (tables.zig) excludes them
     "tests_plaintext_rawtext.dat": (26, 30),
+    # failures: </br> not synthesized as <br> (no end-tag-to-element
+    # synthesis), stray col/frame kept in body (no insertion modes),
+    # formatting not reconstructed after an intervening <hr>
+    "tests_voids_pclosers.dat": (26, 30),
     "tests_adoption_agency.dat": (1, 14),
     "tests_adoption_agency2.dat": (13, 37),
     "tests_table_sections.dat": (45, 58),
@@ -82,7 +86,7 @@ FLOORS = {
     "tests_template.dat": (18, 18),
     "wpt_html5lib_vendored.html": (19, 27),
 }
-TOTAL_FLOOR = 528
+TOTAL_FLOOR = 554
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
