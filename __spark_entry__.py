@@ -851,6 +851,37 @@ def q_multimodal_gif_decode(spark, sf_dir):
     )
 
 
+def q_media_probe(spark, sf_dir):
+    """Structural media metadata under the value gate: 64 synthesized
+    containers — MPEG-1 Layer III CBR streams (ids with id%4 in {0,1})
+    and minimal ISO-BMFF MP4s (ftyp + moov/mvhd/trak) — probed by the
+    real frame/box walkers (ISO 11172-3 headers, 14496-12 boxes).
+    Every field is closed-form in the id, so the oracle recomputes
+    frame counts, exact durations, bitrates and track dimensions from
+    the public spec tables without parsing either container.  Nullable
+    numeric columns are cast to string on BOTH twins (mixed NULL/int
+    columns decay to float64 on the driver's pandas hash path)."""
+    from html_parser_spark.operators.mediaprobe import (
+        probe_media, synth_mp3, synth_mp4,
+    )
+    from html_parser_spark.operators.multimodal import ASSET_SCHEMA
+
+    rows = []
+    for i in range(64):
+        if i % 4 < 2:
+            rows.append((i, "audio", bytearray(synth_mp3(i)), {}))
+        else:
+            rows.append((i, "video", bytearray(synth_mp4(i)), {}))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    return probe_media(assets).select(
+        "asset_id", "container", "n_units", "duration_ms", "sample_rate",
+        F.col("channels").cast("string").alias("channels"),
+        F.col("bit_rate_kbps").cast("string").alias("bit_rate_kbps"),
+        F.col("width").cast("string").alias("width"),
+        F.col("height").cast("string").alias("height"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -912,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_gif_decode": q_multimodal_gif_decode,
+        "media_probe": q_media_probe,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1646,6 +1678,45 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(len(regexp_replace(pix, '[^0-9]', '', 'g')) as double)
                          / np, 6) as digit_share
             from c
+        """,
+        # media_probe twin: every header field the walkers read is
+        # synthesized closed-form in the id (mediaprobe.synth_mp3 /
+        # synth_mp4), so the oracle recomputes them from the public
+        # spec tables (ISO 11172-3 Annex B bitrates / samplerates,
+        # 14496-12 mvhd math) without parsing either container.
+        # Nullable numerics are strings on both twins (pandas decay).
+        "media_probe": """
+            with a as (
+                select i as asset_id,
+                       ([44100, 48000, 32000])[i % 3 + 1] as sr,
+                       ([32, 40, 48, 56, 64, 80, 96, 112,
+                         128, 160, 192, 224, 256, 320])[i % 14 + 1] as br,
+                       3 + i % 5 as nf,
+                       1000 * (1 + i % 4) as ts
+                from (select unnest(generate_series(0, 63)) as i)
+            )
+            select asset_id,
+                   case when asset_id % 4 < 2 then 'mp3' else 'mp4' end
+                       as container,
+                   cast(case when asset_id % 4 < 2 then nf else 1 end
+                        as bigint) as n_units,
+                   cast(case when asset_id % 4 < 2
+                             then nf * 1152 * 1000 // sr
+                             else (10 + asset_id) * 500 end
+                        as bigint) as duration_ms,
+                   cast(case when asset_id % 4 < 2 then sr else ts end
+                        as int) as sample_rate,
+                   case when asset_id % 4 < 2
+                        then cast(1 + asset_id % 2 as varchar) end as channels,
+                   case when asset_id % 4 < 2
+                        then cast(br as varchar) end as bit_rate_kbps,
+                   case when asset_id % 4 >= 2
+                        then cast(160 + 16 * (asset_id % 8) as varchar) end
+                       as width,
+                   case when asset_id % 4 >= 2
+                        then cast(90 + 9 * (asset_id % 8) as varchar) end
+                       as height
+            from a
         """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,
