@@ -882,6 +882,35 @@ def q_media_probe(spark, sf_dir):
     )
 
 
+def q_media_probe_av(spark, sf_dir):
+    """The bitstream-syntax half of the media probe under the value
+    gate: 64 assets — H.264 Annex-B elementary streams for even ids
+    (Exp-Golomb SPS: High/Baseline profiles, frame cropping, VUI
+    fixed-frame-rate timing over counted slice NALs) and FLAC streams
+    for odd ids (RFC 9639 STREAMINFO bit packing).  Every field is
+    closed-form in the id.  Mixed-NULL numeric columns are strings on
+    both twins (pandas decay)."""
+    from html_parser_spark.operators.mediaprobe import (
+        probe_media, synth_flac, synth_h264,
+    )
+    from html_parser_spark.operators.multimodal import ASSET_SCHEMA
+
+    rows = []
+    for i in range(64):
+        if i % 2 == 0:
+            rows.append((i, "video", bytearray(synth_h264(i)), {}))
+        else:
+            rows.append((i, "audio", bytearray(synth_flac(i)), {}))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    return probe_media(assets).select(
+        "asset_id", "container", "n_units", "duration_ms",
+        F.col("sample_rate").cast("string").alias("sample_rate"),
+        F.col("channels").cast("string").alias("channels"),
+        F.col("width").cast("string").alias("width"),
+        F.col("height").cast("string").alias("height"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -944,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "media_probe": q_media_probe,
+        "media_probe_av": q_media_probe_av,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1716,6 +1746,38 @@ def oracle_sql() -> dict[str, str]:
                    case when asset_id % 4 >= 2
                         then cast(90 + 9 * (asset_id % 8) as varchar) end
                        as height
+            from a
+        """,
+        # media_probe_av twin: H.264 dims come from the SPS macroblock
+        # grid minus 4:2:0 crop units (16*mbs - 2*crop), duration from
+        # VUI ticks over counted slice NALs; FLAC fields from the
+        # STREAMINFO packing — all closed-form in synth_h264/synth_flac
+        "media_probe_av": """
+            with a as (
+                select i as asset_id,
+                       ([8000, 16000, 22050, 44100, 48000])[i % 5 + 1] as sr
+                from (select unnest(generate_series(0, 63)) as i)
+            )
+            select asset_id,
+                   case when asset_id % 2 = 0 then 'h264' else 'flac' end
+                       as container,
+                   cast(case when asset_id % 2 = 0 then 4 + asset_id % 7
+                             else 2 + asset_id % 3 end as bigint) as n_units,
+                   cast(case when asset_id % 2 = 0
+                             then (2 + asset_id % 7) * 1000
+                                  // (24 + asset_id % 4)
+                             else (1000 + 37 * asset_id) * 1000 // sr end
+                        as bigint) as duration_ms,
+                   case when asset_id % 2 = 1
+                        then cast(sr as varchar) end as sample_rate,
+                   case when asset_id % 2 = 1
+                        then cast(1 + asset_id % 2 as varchar) end as channels,
+                   case when asset_id % 2 = 0
+                        then cast(16 * (1 + asset_id % 10)
+                                  - 2 * (asset_id % 4) as varchar) end as width,
+                   case when asset_id % 2 = 0
+                        then cast(16 * (1 + asset_id % 6)
+                                  - 2 * (asset_id % 3) as varchar) end as height
             from a
         """,
         "streaming_hourly": """

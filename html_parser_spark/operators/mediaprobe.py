@@ -1,4 +1,4 @@
-"""Structural media probing: MP3 frame walk + MP4 (ISO-BMFF) box walk.
+"""Structural media probing: MP3 frames, MP4 boxes, H.264 NALs, FLAC.
 
 The multimodal gap list has always been honest that transform-coded
 audio/video (MP3, H.264) cannot be *decoded* without external codecs
@@ -7,9 +7,14 @@ actually needs from those assets, though, is almost always *metadata*
 — duration, bitrate, sample rate, track dimensions — and that is pure
 container structure, fully parseable from the public specs with no
 codec: ISO/IEC 11172-3 frame headers for MP3, ISO/IEC 14496-12 box
-structure for MP4.  ``probe_media`` walks every MPEG audio frame
-(header-by-header, ID3v2/ID3v1 aware) and the full MP4 box tree
-(mvhd/tkhd/hdlr) and emits typed features per asset.
+structure for MP4, ITU-T H.264 §7.3.2.1 SPS bitstream syntax
+(Exp-Golomb) for Annex-B video, RFC 9639 STREAMINFO for FLAC.
+``probe_media`` walks every MPEG audio frame (header-by-header,
+ID3v2/ID3v1 aware), the full MP4 box tree (mvhd/tkhd/hdlr), every
+Annex-B NAL unit (start-code scan, emulation-prevention unescape, SPS
+dims with frame cropping, VUI fixed-frame-rate duration over counted
+slice NALs), and FLAC metadata blocks — and emits typed features per
+asset.
 
 Hardening follows the decoder family's contract: strict structural
 validation (a bad sync word, an undersized box, or a truncated frame
@@ -207,6 +212,236 @@ def probe_mp4(payload: bytes) -> dict:
     }
 
 
+class _BitReader:
+    """MSB-first bit reader with Exp-Golomb (H.264 §9.1) decode."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0          # bit position
+
+    def u(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("bitstream underrun")
+        val = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            val = (val << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return val
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("Exp-Golomb code too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _rbsp_unescape(nal_body: bytes) -> bytes:
+    """Strip emulation-prevention bytes (00 00 03 -> 00 00)."""
+    return nal_body.replace(b"\x00\x00\x03", b"\x00\x00")
+
+
+def _rbsp_escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes so no 00 00 0x ( x<=3 ) run
+    survives into the NAL (H.264 §7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+# profiles whose SPS carries chroma_format_idc etc. (H.264 §7.3.2.1.1)
+_H264_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138,
+                       139, 134, 135}
+
+
+def _parse_sps(rbsp: bytes) -> dict:
+    """seq_parameter_set_data per ITU-T H.264 §7.3.2.1.1: coded frame
+    dimensions (macroblock grid minus frame cropping in chroma crop
+    units) and, when VUI carries fixed-rate timing info, the per-frame
+    tick duration."""
+    r = _BitReader(rbsp)
+    profile = r.u(8)
+    r.u(8)   # constraint_set flags + reserved_zero_2bits
+    level = r.u(8)
+    r.ue()   # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile in _H264_HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)                      # separate_colour_plane_flag
+        r.ue(); r.ue(); r.u(1)          # bit depths, qpprime bypass
+        if r.u(1):                      # seq_scaling_matrix_present
+            raise ValueError("scaling matrices unsupported in probe")
+    r.ue()                              # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1); r.se(); r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue(); r.u(1)                      # max_num_ref_frames, gaps flag
+    pic_width_mbs = r.ue() + 1
+    pic_height_mus = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)                          # mb_adaptive_frame_field_flag
+    r.u(1)                              # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):                          # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # CropUnit per Table 6-1 (chroma 4:2:0 -> 2x2; 4:2:2 -> 2x1; else 1)
+    sub_w = 2 if chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if chroma_format_idc == 1 else 1
+    crop_ux = sub_w if chroma_format_idc else 1
+    crop_uy = (sub_h if chroma_format_idc else 1) * (2 - frame_mbs_only)
+    width = pic_width_mbs * 16 - crop_ux * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * pic_height_mus * 16 \
+        - crop_uy * (crop_t + crop_b)
+    if width <= 0 or height <= 0:
+        raise ValueError("SPS cropping exceeds coded size")
+    tick_num = tick_den = None
+    if r.u(1):                          # vui_parameters_present_flag
+        if r.u(1):                      # aspect_ratio_info_present
+            if r.u(8) == 255:           # Extended_SAR
+                r.u(32)
+        if r.u(1):                      # overscan_info_present
+            r.u(1)
+        if r.u(1):                      # video_signal_type_present
+            r.u(4)
+            if r.u(1):                  # colour_description_present
+                r.u(24)
+        if r.u(1):                      # chroma_loc_info_present
+            r.ue(); r.ue()
+        if r.u(1):                      # timing_info_present
+            num_units = r.u(32)
+            time_scale = r.u(32)
+            fixed = r.u(1)
+            if fixed and num_units and time_scale:
+                tick_num, tick_den = 2 * num_units, time_scale
+    return {"profile": profile, "level": level, "width": width,
+            "height": height, "tick_num": tick_num, "tick_den": tick_den}
+
+
+def probe_h264(payload: bytes) -> dict:
+    """Walk an Annex-B elementary stream: start-code-delimited NAL
+    units, dims from the first SPS, frame count from slice NALs whose
+    first_mb_in_slice == 0 (one count per picture even for multi-slice
+    frames), duration from VUI fixed-frame-rate timing when present."""
+    if payload[:3] != b"\x00\x00\x01" and payload[:4] != b"\x00\x00\x00\x01":
+        raise ValueError("no Annex-B start code")
+    # split into NAL units on 00 00 01 (a preceding 00 belongs to the
+    # 4-byte form); emulation prevention guarantees no false splits
+    starts = []
+    pos = 0
+    while True:
+        hit = payload.find(b"\x00\x00\x01", pos)
+        if hit < 0:
+            break
+        starts.append(hit + 3)
+        pos = hit + 3
+    sps = None
+    n_units = 0
+    n_frames = 0
+    for idx, start in enumerate(starts):
+        end = (starts[idx + 1] - 3) if idx + 1 < len(starts) else len(payload)
+        if end > start and payload[end - 1:end] == b"\x00" \
+                and idx + 1 < len(starts):
+            end -= 1                    # 4-byte start code's leading zero
+        nal = payload[start:end]
+        if not nal:
+            raise ValueError("empty NAL unit")
+        if nal[0] & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        ntype = nal[0] & 0x1F
+        n_units += 1
+        if ntype == 7 and sps is None:
+            sps = _parse_sps(_rbsp_unescape(nal[1:]))
+        elif ntype in (1, 5):
+            head = _BitReader(_rbsp_unescape(nal[1:9]))
+            if head.ue() == 0:          # first_mb_in_slice
+                n_frames += 1
+    if sps is None:
+        raise ValueError("no SPS in stream")
+    duration = None
+    if sps["tick_num"] and n_frames:
+        duration = n_frames * 1000 * sps["tick_num"] // sps["tick_den"]
+    return {
+        "container": "h264",
+        "n_units": n_units,
+        "duration_ms": duration,
+        "sample_rate": None,
+        "channels": None,
+        "bit_rate_kbps": None,
+        "is_cbr": None,
+        "width": sps["width"],
+        "height": sps["height"],
+    }
+
+
+def probe_flac(payload: bytes) -> dict:
+    """Walk FLAC metadata blocks (RFC 9639 §8): STREAMINFO gives the
+    packed sample rate / channels / bit depth / total-sample count;
+    n_units counts the metadata blocks walked."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    info = None
+    n_blocks = 0
+    last = False
+    while not last:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC block header")
+        head = payload[pos]
+        last = bool(head & 0x80)
+        btype = head & 0x7F
+        size = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = pos + 4
+        if body + size > len(payload):
+            raise ValueError("truncated FLAC block body")
+        if btype == 127:
+            raise ValueError("invalid FLAC block type 127")
+        n_blocks += 1
+        if btype == 0:
+            if size != 34:
+                raise ValueError("STREAMINFO must be 34 bytes")
+            packed = int.from_bytes(payload[body + 10:body + 18], "big")
+            sr = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            total = packed & ((1 << 36) - 1)
+            if sr == 0:
+                raise ValueError("FLAC sample rate is zero")
+            if info is None:
+                info = (sr, channels, total)
+        pos = body + size
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    sr, channels, total = info
+    return {
+        "container": "flac",
+        "n_units": n_blocks,
+        "duration_ms": total * 1000 // sr,
+        "sample_rate": sr,
+        "channels": channels,
+        "bit_rate_kbps": None,
+        "is_cbr": None,
+        "width": None,
+        "height": None,
+    }
+
+
 PROBE_SCHEMA = StructType([
     StructField("asset_id", LongType(), False),
     StructField("kind", StringType(), False),
@@ -239,6 +474,11 @@ def probe_media(assets: DataFrame) -> DataFrame:
                     try:
                         if len(b) >= 12 and b[4:8] == b"ftyp":
                             meta.update(probe_mp4(b))
+                        elif b[:4] == b"fLaC":
+                            meta.update(probe_flac(b))
+                        elif b[:3] == b"\x00\x00\x01" \
+                                or b[:4] == b"\x00\x00\x00\x01":
+                            meta.update(probe_h264(b))
                         elif b[:3] == b"ID3" or (
                                 len(b) >= 2 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0):
                             meta.update(probe_mp3(b))
@@ -294,3 +534,105 @@ def synth_mp4(asset_id: int) -> bytes:
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + moov
+
+
+class _BitWriter:
+    """MSB-first bit writer with Exp-Golomb encode (synth-side twin
+    of ``_BitReader``)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, n: int, val: int) -> "_BitWriter":
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+        return self
+
+    def ue(self, val: int) -> "_BitWriter":
+        k = val + 1
+        nbits = k.bit_length()
+        return self.u(2 * nbits - 1, k)
+
+    def rbsp(self) -> bytes:
+        """rbsp_trailing_bits: stop bit + zero-pad to a byte."""
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i:i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+        return bytes(out)
+
+
+def synth_h264(asset_id: int) -> bytes:
+    """Deterministic Annex-B stream: SPS (High profile for even ids —
+    exercising the chroma-format branch — Baseline for odd), PPS, one
+    IDR + n non-IDR slice NALs; dims, frame count and VUI timing all
+    closed-form in the id.  width = 16*(1 + id%10) - 2*(id%4),
+    height = 16*(1 + id%6) - 2*(id%3), n_frames = 2 + id%7,
+    fps = 24 + id%4."""
+    profile = 100 if asset_id % 2 == 0 else 66
+    mbs_w = 1 + asset_id % 10
+    mus_h = 1 + asset_id % 6
+    crop_r = asset_id % 4
+    crop_b = asset_id % 3
+    fps = 24 + asset_id % 4
+    n_frames = 2 + asset_id % 7
+
+    w = _BitWriter()
+    w.u(8, profile).u(8, 0).u(8, 31)        # profile, constraints, level
+    w.ue(0)                                  # sps_id
+    if profile == 100:
+        w.ue(1)                              # chroma_format_idc 4:2:0
+        w.ue(0).ue(0).u(1, 0)                # bit depths, qpprime
+        w.u(1, 0)                            # no scaling matrices
+    w.ue(0)                                  # log2_max_frame_num_minus4
+    w.ue(2)                                  # pic_order_cnt_type 2
+    w.ue(1).u(1, 0)                          # max refs, no gaps
+    w.ue(mbs_w - 1).ue(mus_h - 1)
+    w.u(1, 1).u(1, 1)                        # frame_mbs_only, direct_8x8
+    if crop_r or crop_b:
+        w.u(1, 1).ue(0).ue(crop_r).ue(0).ue(crop_b)
+    else:
+        w.u(1, 0)
+    w.u(1, 1)                                # vui_parameters_present
+    w.u(1, 0).u(1, 0).u(1, 0).u(1, 0)        # aspect/overscan/signal/loc
+    w.u(1, 1)                                # timing_info_present
+    w.u(32, 1).u(32, 2 * fps).u(1, 1)        # tick, scale, fixed rate
+    w.u(1, 0).u(1, 0).u(1, 0).u(1, 0)        # hrd x2, pic_struct, restrict
+    sps_rbsp = w.rbsp()
+
+    def nal(ref_idc: int, ntype: int, body: bytes, four: bool) -> bytes:
+        start = b"\x00\x00\x00\x01" if four else b"\x00\x00\x01"
+        return start + bytes([(ref_idc << 5) | ntype]) + _rbsp_escape(body)
+
+    pps = _BitWriter().ue(0).ue(0).u(1, 0).u(1, 0).ue(0).rbsp()
+    slice_body = _BitWriter().ue(0).rbsp() + bytes(
+        (asset_id * 31 + k) % 255 + 1 for k in range(8))
+    out = nal(3, 7, sps_rbsp, four=True) + nal(3, 8, pps, four=False)
+    out += nal(3, 5, slice_body, four=True)
+    for _ in range(n_frames - 1):
+        out += nal(2, 1, slice_body, four=False)
+    return out
+
+
+def synth_flac(asset_id: int) -> bytes:
+    """Deterministic FLAC: STREAMINFO + 1 + id%3 padding blocks;
+    sample rate / channels / total samples closed-form in the id."""
+    sr = [8000, 16000, 22050, 44100, 48000][asset_id % 5]
+    channels = 1 + asset_id % 2
+    total = 1000 + 37 * asset_id
+    packed = (sr << 44) | ((channels - 1) << 41) | ((16 - 1) << 36) | total
+    streaminfo = (struct.pack(">HH", 1024, 4096)
+                  + (64).to_bytes(3, "big") + (4096).to_bytes(3, "big")
+                  + packed.to_bytes(8, "big") + bytes(16))
+    out = b"fLaC" + bytes([0]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    n_pad = 1 + asset_id % 3
+    for j in range(n_pad):
+        last = j == n_pad - 1
+        out += bytes([(0x80 if last else 0) | 1]) + (4).to_bytes(3, "big") \
+            + bytes(4)
+    return out
