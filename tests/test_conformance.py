@@ -85,8 +85,13 @@ FLOORS = {
     "tests_tables.dat": (11, 14),
     "tests_template.dat": (18, 18),
     "wpt_html5lib_vendored.html": (19, 27),
+    # 62 NEW full-document cases (no .dat mirrors); failures: adoption
+    # agency clones (5), svg-subtree-opaque (4, findSvgSubtreeEnd
+    # design), xmp not raw-text, nested <select> kept (no insertion
+    # modes) — every one in a documented divergence class
+    "wpt_html5lib_vendored2.html": (51, 62),
 }
-TOTAL_FLOOR = 554
+TOTAL_FLOOR = 605
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
