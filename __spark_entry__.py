@@ -911,6 +911,33 @@ def q_media_probe_av(spark, sf_dir):
     )
 
 
+def q_media_probe_stream(spark, sf_dir):
+    """The container-walk half of the probe family under the value
+    gate: 64 assets — WebM/EBML for id%4 in {0,3} (vint tree walk,
+    TimestampScale x float Duration, per-track dims/rate/channels) and
+    Ogg for id%4 in {1,2} (page walk + granule math; id%4==2 hits the
+    Vorbis id-header branch, id%4==1 the OpusHead branch with pre-skip
+    subtraction).  Every field is closed-form in the id."""
+    from html_parser_spark.operators.mediaprobe import (
+        probe_media, synth_ogg, synth_webm,
+    )
+    from html_parser_spark.operators.multimodal import ASSET_SCHEMA
+
+    rows = []
+    for i in range(64):
+        if i % 4 in (0, 3):
+            rows.append((i, "video", bytearray(synth_webm(i)), {}))
+        else:
+            rows.append((i, "audio", bytearray(synth_ogg(i)), {}))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    return probe_media(assets).select(
+        "asset_id", "container", "n_units", "duration_ms",
+        "sample_rate", "channels",
+        F.col("width").cast("string").alias("width"),
+        F.col("height").cast("string").alias("height"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -974,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "media_probe": q_media_probe,
         "media_probe_av": q_media_probe_av,
+        "media_probe_stream": q_media_probe_stream,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1779,6 +1807,36 @@ def oracle_sql() -> dict[str, str]:
                         then cast(16 * (1 + asset_id % 6)
                                   - 2 * (asset_id % 3) as varchar) end as height
             from a
+        """,
+        # media_probe_stream twin: WebM duration = float ticks (ts
+        # scale 10^6 ns) = the integral synth value; Ogg duration =
+        # last-page granule over the codec rate (Opus: minus the
+        # pre-skip the synth added back, at 48 kHz).  id%4==2 is
+        # always Vorbis at 44100 (even id), id%4==1 always Opus
+        "media_probe_stream": """
+            select i as asset_id,
+                   case when i % 4 in (0, 3) then 'webm'
+                        when i % 4 = 2 then 'ogg-vorbis'
+                        else 'ogg-opus' end as container,
+                   cast(case when i % 4 in (0, 3) then 2
+                             else 2 + i % 4 end as bigint) as n_units,
+                   cast(case when i % 4 in (0, 3) then 600 + 13 * i
+                             when i % 4 = 2
+                             then (2000 + 53 * i) * 1000 // 44100
+                             else (2000 + 53 * i) * 1000 // 48000 end
+                        as bigint) as duration_ms,
+                   cast(case when i % 4 in (0, 3)
+                             then ([16000, 24000, 48000])[i % 3 + 1]
+                             when i % 4 = 2 then 44100
+                             else 48000 end as int) as sample_rate,
+                   cast(case when i % 4 in (0, 3) then 1 + i % 2
+                             when i % 4 = 2 then 1
+                             else 2 end as int) as channels,
+                   case when i % 4 in (0, 3)
+                        then cast(320 + 16 * (i % 6) as varchar) end as width,
+                   case when i % 4 in (0, 3)
+                        then cast(180 + 9 * (i % 6) as varchar) end as height
+            from (select unnest(generate_series(0, 63)) as i)
         """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,

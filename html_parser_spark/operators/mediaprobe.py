@@ -476,6 +476,10 @@ def probe_media(assets: DataFrame) -> DataFrame:
                             meta.update(probe_mp4(b))
                         elif b[:4] == b"fLaC":
                             meta.update(probe_flac(b))
+                        elif b[:4] == b"\x1a\x45\xdf\xa3":
+                            meta.update(probe_webm(b))
+                        elif b[:4] == b"OggS":
+                            meta.update(probe_ogg(b))
                         elif b[:3] == b"\x00\x00\x01" \
                                 or b[:4] == b"\x00\x00\x00\x01":
                             meta.update(probe_h264(b))
@@ -635,4 +639,285 @@ def synth_flac(asset_id: int) -> bytes:
         last = j == n_pad - 1
         out += bytes([(0x80 if last else 0) | 1]) + (4).to_bytes(3, "big") \
             + bytes(4)
+    return out
+
+
+# --- WebM / Matroska (EBML, RFC 8794 + Matroska spec) -----------------
+
+_EBML_HEADER = 0x1A45DFA3
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_VIDEO = 0xE0
+_MKV_AUDIO = 0xE1
+_MKV_TS_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACK_TYPE = 0x83
+_MKV_PIXEL_W = 0xB0
+_MKV_PIXEL_H = 0xBA
+_MKV_SAMPLING = 0xB5
+_MKV_CHANNELS = 0x9F
+_MKV_DOCTYPE = 0x4282
+_MKV_MASTERS = {_EBML_HEADER, _MKV_SEGMENT, _MKV_INFO, _MKV_TRACKS,
+                _MKV_TRACK_ENTRY, _MKV_VIDEO, _MKV_AUDIO}
+
+
+def _ebml_vint(payload: bytes, pos: int, end: int, keep_marker: bool):
+    """Read one EBML variable-length integer; returns (value, newpos).
+    ``None`` value signals the reserved all-ones 'unknown size'."""
+    if pos >= end:
+        raise ValueError("EBML vint past end")
+    b0 = payload[pos]
+    if b0 == 0:
+        raise ValueError("EBML vint length > 8")
+    length = 9 - b0.bit_length()
+    if pos + length > end:
+        raise ValueError("truncated EBML vint")
+    value = int.from_bytes(payload[pos:pos + length], "big")
+    if not keep_marker:
+        mask = (1 << (7 * length)) - 1
+        value &= mask
+        if value == mask:
+            return None, pos + length    # unknown size
+    return value, pos + length
+
+
+def _ebml_uint(payload: bytes) -> int:
+    if len(payload) > 8:
+        raise ValueError("EBML uint too wide")
+    return int.from_bytes(payload, "big")
+
+
+def _ebml_float(payload: bytes) -> float:
+    if len(payload) == 4:
+        return struct.unpack(">f", payload)[0]
+    if len(payload) == 8:
+        return struct.unpack(">d", payload)[0]
+    if len(payload) == 0:
+        return 0.0
+    raise ValueError("EBML float must be 0/4/8 bytes")
+
+
+def _walk_ebml(payload: bytes, pos: int, end: int, depth: int, out: dict):
+    if depth > 8:
+        raise ValueError("EBML nesting too deep")
+    while pos < end:
+        eid, pos = _ebml_vint(payload, pos, end, keep_marker=True)
+        size, pos = _ebml_vint(payload, pos, end, keep_marker=False)
+        if size is None:
+            if eid != _MKV_SEGMENT:   # unknown size: Segment-only here
+                raise ValueError("unknown EBML size outside Segment")
+            size = end - pos
+        if pos + size > end:
+            raise ValueError("EBML element size out of bounds")
+        body = payload[pos:pos + size]
+        if eid in _MKV_MASTERS:
+            if eid == _MKV_TRACK_ENTRY:
+                out["n_tracks"] = out.get("n_tracks", 0) + 1
+            _walk_ebml(payload, pos, pos + size, depth + 1, out)
+        elif eid == _MKV_TS_SCALE:
+            out["ts_scale"] = _ebml_uint(body)
+        elif eid == _MKV_DURATION:
+            out["duration"] = _ebml_float(body)
+        elif eid == _MKV_PIXEL_W:
+            out["width"] = max(out.get("width") or 0, _ebml_uint(body))
+        elif eid == _MKV_PIXEL_H:
+            out["height"] = max(out.get("height") or 0, _ebml_uint(body))
+        elif eid == _MKV_SAMPLING:
+            out.setdefault("rate", _ebml_float(body))
+        elif eid == _MKV_CHANNELS:
+            out.setdefault("channels", _ebml_uint(body))
+        elif eid == _MKV_DOCTYPE:
+            out["doctype"] = body.decode("latin1").rstrip("\x00")
+        pos += size
+
+
+def probe_webm(payload: bytes) -> dict:
+    """Walk the EBML tree of a WebM/Matroska file: Info gives
+    TimestampScale (ns per tick, default 10^6) and float Duration in
+    ticks; TrackEntry/Video gives pixel dims; TrackEntry/Audio gives
+    sampling rate + channels."""
+    if payload[:4] != _EBML_HEADER.to_bytes(4, "big"):
+        raise ValueError("not an EBML stream")
+    out: dict = {}
+    _walk_ebml(payload, 0, len(payload), 0, out)
+    if out.get("doctype") not in ("webm", "matroska"):
+        raise ValueError("EBML doctype is not webm/matroska")
+    duration = None
+    if "duration" in out:
+        ts_scale = out.get("ts_scale", 1_000_000)
+        if not (out["duration"] >= 0):
+            raise ValueError("negative/NaN Matroska duration")
+        duration = int(out["duration"] * ts_scale) // 1_000_000
+    rate = out.get("rate")
+    return {
+        "container": "webm",
+        "n_units": out.get("n_tracks", 0),
+        "duration_ms": duration,
+        "sample_rate": int(rate) if rate else None,
+        "channels": out.get("channels"),
+        "bit_rate_kbps": None,
+        "is_cbr": None,
+        "width": out.get("width"),
+        "height": out.get("height"),
+    }
+
+
+# --- Ogg (RFC 3533) with Vorbis / Opus id headers ---------------------
+
+
+def probe_ogg(payload: bytes) -> dict:
+    """Walk every Ogg page (capture-pattern + lacing-table sizes, CRC
+    not verified), read the codec id header from the first BOS page
+    (Vorbis I §4.2.2 or RFC 7845 OpusHead), and derive duration from
+    the final page's granule position — PCM samples at the codec rate
+    for Vorbis, 48 kHz ticks minus pre-skip for Opus."""
+    pos = 0
+    n_pages = 0
+    rate = None
+    channels = None
+    codec = None
+    preskip = 0
+    last_granule = None
+    end = len(payload)
+    while pos < end:
+        if payload[pos:pos + 4] != b"OggS":
+            raise ValueError(f"bad Ogg capture pattern at {pos}")
+        if pos + 27 > end:
+            raise ValueError("truncated Ogg page header")
+        if payload[pos + 4] != 0:
+            raise ValueError("unsupported Ogg version")
+        granule = int.from_bytes(payload[pos + 6:pos + 14], "little",
+                                 signed=True)
+        nsegs = payload[pos + 26]
+        lace_end = pos + 27 + nsegs
+        if lace_end > end:
+            raise ValueError("truncated Ogg lacing table")
+        body_len = sum(payload[pos + 27:lace_end])
+        body = payload[lace_end:lace_end + body_len]
+        if len(body) != body_len:
+            raise ValueError("truncated Ogg page body")
+        if payload[pos + 5] & 0x02 and codec is None:     # BOS page
+            if body[:7] == b"\x01vorbis":
+                if len(body) < 16:
+                    raise ValueError("truncated Vorbis id header")
+                codec = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+            elif body[:8] == b"OpusHead":
+                if len(body) < 19:
+                    raise ValueError("truncated OpusHead")
+                codec = "opus"
+                channels = body[9]
+                preskip = int.from_bytes(body[10:12], "little")
+                rate = 48000           # Opus granules are 48 kHz ticks
+        if granule >= 0:
+            last_granule = granule
+        n_pages += 1
+        pos = lace_end + body_len
+    if n_pages == 0:
+        raise ValueError("no Ogg pages")
+    if codec is None:
+        raise ValueError("no Vorbis/Opus id header on a BOS page")
+    if not rate:
+        raise ValueError("Ogg id header has zero rate")
+    duration = None
+    if last_granule is not None:
+        ticks = max(0, last_granule - (preskip if codec == "opus" else 0))
+        duration = ticks * 1000 // rate
+    return {
+        "container": "ogg-" + codec,
+        "n_units": n_pages,
+        "duration_ms": duration,
+        "sample_rate": rate,
+        "channels": channels,
+        "bit_rate_kbps": None,
+        "is_cbr": None,
+        "width": None,
+        "height": None,
+    }
+
+
+def _ebml_encode_vint(n: int) -> bytes:
+    """Minimal-length EBML size encoding (marker bit included)."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    nbytes = max(1, (eid.bit_length() + 7) // 8)
+    return eid.to_bytes(nbytes, "big") + _ebml_encode_vint(len(body)) + body
+
+
+def synth_webm(asset_id: int) -> bytes:
+    """Deterministic WebM: EBML header (doctype webm) + Segment with
+    Info (TimestampScale 10^6, integral float Duration) and Tracks
+    (one video + one audio TrackEntry) — every probed field
+    closed-form in the id."""
+    duration = float(600 + 13 * asset_id)
+    width, height = 320 + 16 * (asset_id % 6), 180 + 9 * (asset_id % 6)
+    rate = [16000, 24000, 48000][asset_id % 3]
+    channels = 1 + asset_id % 2
+    header = _ebml_el(_EBML_HEADER, _ebml_el(_MKV_DOCTYPE, b"webm"))
+    info = _ebml_el(_MKV_INFO,
+                    _ebml_el(_MKV_TS_SCALE, (1_000_000).to_bytes(3, "big"))
+                    + _ebml_el(_MKV_DURATION, struct.pack(">d", duration)))
+    video_track = _ebml_el(_MKV_TRACK_ENTRY,
+                           _ebml_el(_MKV_TRACK_TYPE, b"\x01")
+                           + _ebml_el(_MKV_VIDEO,
+                                      _ebml_el(_MKV_PIXEL_W,
+                                               width.to_bytes(2, "big"))
+                                      + _ebml_el(_MKV_PIXEL_H,
+                                                 height.to_bytes(2, "big"))))
+    audio_track = _ebml_el(_MKV_TRACK_ENTRY,
+                           _ebml_el(_MKV_TRACK_TYPE, b"\x02")
+                           + _ebml_el(_MKV_AUDIO,
+                                      _ebml_el(_MKV_SAMPLING,
+                                               struct.pack(">d", float(rate)))
+                                      + _ebml_el(_MKV_CHANNELS,
+                                                 bytes([channels]))))
+    tracks = _ebml_el(_MKV_TRACKS, video_track + audio_track)
+    return header + _ebml_el(_MKV_SEGMENT, info + tracks)
+
+
+def _ogg_page(serial: int, seq: int, granule: int, header_type: int,
+              body: bytes) -> bytes:
+    laces = []
+    rest = len(body)
+    while rest >= 255:
+        laces.append(255)
+        rest -= 255
+    laces.append(rest)
+    return (b"OggS\x00" + bytes([header_type])
+            + granule.to_bytes(8, "little", signed=True)
+            + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+            + bytes(4)                    # CRC not verified by the probe
+            + bytes([len(laces)]) + bytes(laces) + body)
+
+
+def synth_ogg(asset_id: int) -> bytes:
+    """Deterministic Ogg: a BOS id-header page (Vorbis for even ids,
+    Opus for odd) + 1 + id%4 audio pages, the last carrying the
+    closed-form total-samples granule."""
+    serial = 0x1000 + asset_id
+    total = 2000 + 53 * asset_id
+    if asset_id % 2 == 0:
+        rate = [8000, 16000, 44100, 48000][asset_id % 4]
+        idhdr = (b"\x01vorbis" + bytes(4) + bytes([1 + asset_id % 2])
+                 + rate.to_bytes(4, "little") + bytes(12))
+    else:
+        preskip = 312
+        idhdr = (b"OpusHead\x01" + bytes([2]) + preskip.to_bytes(2, "little")
+                 + (48000).to_bytes(4, "little") + bytes(7))
+        total += preskip               # granules include pre-skip
+    out = _ogg_page(serial, 0, 0, 0x02, idhdr)
+    n_data = 1 + asset_id % 4
+    for j in range(n_data):
+        granule = total if j == n_data - 1 else (total * (j + 1)) // n_data
+        flags = 0x04 if j == n_data - 1 else 0
+        body = bytes((asset_id * 7 + j + k) % 251 + 1 for k in range(40))
+        out += _ogg_page(serial, j + 1, granule, flags, body)
     return out

@@ -9,7 +9,7 @@ import pytest
 
 from html_parser_spark.operators.mediaprobe import (
     _BITRATE_V1, _SAMPLERATE, probe_media, probe_mp3, probe_mp4,
-    synth_mp3, synth_mp4,
+    probe_ogg, probe_webm, synth_mp3, synth_mp4, synth_ogg, synth_webm,
 )
 from html_parser_spark.operators.multimodal import ASSET_SCHEMA
 
@@ -388,4 +388,158 @@ class TestSparkPathAv:
         assert out[1]["container"] == "flac"
         assert out[1]["sample_rate"] == probe_flac(synth_flac(1))["sample_rate"]
         for hostile in (2, 3):
+            assert out[hostile]["container"] is None
+
+
+class TestWebm:
+    def test_synth_roundtrip_closed_form(self):
+        for i in range(20):
+            meta = probe_webm(synth_webm(i))
+            assert meta["container"] == "webm"
+            assert meta["n_units"] == 2          # one video + one audio track
+            assert meta["duration_ms"] == 600 + 13 * i
+            assert meta["sample_rate"] == [16000, 24000, 48000][i % 3]
+            assert meta["channels"] == 1 + i % 2
+            assert meta["width"] == 320 + 16 * (i % 6)
+            assert meta["height"] == 180 + 9 * (i % 6)
+
+    @pytest.mark.parametrize("mutate, msg", [
+        (lambda s: b"\x1a\x45\xdf\xa2" + s[4:], "not an EBML stream"),
+        (lambda s: s[:9], "EBML element size out of bounds"),
+        (lambda s: s.replace(b"webm", b"webb"), "doctype is not webm"),
+    ])
+    def test_hostile_rejected(self, mutate, msg):
+        with pytest.raises(ValueError, match=msg):
+            probe_webm(mutate(synth_webm(0)))
+
+    def test_nesting_bomb_rejected(self):
+        # 12 nested Segment-id elements: depth guard must fire, not
+        # recurse unbounded.
+        from html_parser_spark.operators.mediaprobe import (
+            _EBML_HEADER, _MKV_DOCTYPE, _MKV_SEGMENT, _ebml_el,
+        )
+        body = b""
+        for _ in range(12):
+            body = _ebml_el(_MKV_SEGMENT, body)
+        payload = _ebml_el(
+            _EBML_HEADER, _ebml_el(_MKV_DOCTYPE, b"webm")) + body
+        with pytest.raises(ValueError, match="nesting too deep"):
+            probe_webm(payload)
+
+    def test_unknown_size_segment_ok_elsewhere_rejected(self):
+        from html_parser_spark.operators.mediaprobe import (
+            _EBML_HEADER, _MKV_DOCTYPE, _MKV_DURATION, _MKV_INFO,
+            _MKV_SEGMENT, _MKV_TS_SCALE, _ebml_el,
+        )
+        info = _ebml_el(
+            _MKV_INFO,
+            _ebml_el(_MKV_TS_SCALE, (1_000_000).to_bytes(3, "big"))
+            + _ebml_el(_MKV_DURATION, struct.pack(">d", 250.0)))
+        header = _ebml_el(_EBML_HEADER, _ebml_el(_MKV_DOCTYPE, b"webm"))
+        # Segment with the reserved all-ones 1-byte size (unknown):
+        # legal, spans to EOF.
+        payload = header + _MKV_SEGMENT.to_bytes(4, "big") + b"\xff" + info
+        assert probe_webm(payload)["duration_ms"] == 250
+        # The same unknown size on Info is not allowed by the walker.
+        bad = header + _ebml_el(
+            _MKV_SEGMENT, _MKV_INFO.to_bytes(4, "big") + b"\xff" + info[5:])
+        with pytest.raises(ValueError, match="unknown EBML size"):
+            probe_webm(bad)
+
+    def test_nan_duration_rejected(self):
+        payload = synth_webm(0).replace(
+            struct.pack(">d", 600.0), struct.pack(">d", float("nan")))
+        with pytest.raises(ValueError, match="negative/NaN"):
+            probe_webm(payload)
+
+    def test_truncation_sweep_never_hangs(self):
+        full = synth_webm(5)
+        for cut in range(len(full)):
+            try:
+                probe_webm(full[:cut])
+            except ValueError:
+                pass
+
+
+class TestOgg:
+    def test_synth_roundtrip_closed_form(self):
+        for i in range(20):
+            meta = probe_ogg(synth_ogg(i))
+            total = 2000 + 53 * i
+            if i % 2 == 0:
+                rate = [8000, 16000, 44100, 48000][i % 4]
+                assert meta["container"] == "ogg-vorbis"
+                assert meta["channels"] == 1
+            else:
+                rate = 48000
+                assert meta["container"] == "ogg-opus"
+                assert meta["channels"] == 2
+            assert meta["sample_rate"] == rate
+            assert meta["n_units"] == 2 + i % 4
+            assert meta["duration_ms"] == total * 1000 // rate
+            assert meta["width"] is None
+
+    @pytest.mark.parametrize("mutate, msg", [
+        (lambda s: b"OggZ" + s[4:], "bad Ogg capture pattern"),
+        (lambda s: s[:20], "truncated Ogg page header"),
+        (lambda s: s[:4] + b"\x01" + s[5:], "unsupported Ogg version"),
+        (lambda s: s[:40], "truncated Ogg page body"),
+    ])
+    def test_hostile_rejected(self, mutate, msg):
+        with pytest.raises(ValueError, match=msg):
+            probe_ogg(mutate(synth_ogg(0)))
+
+    def test_no_id_header_rejected(self):
+        # A data-only stream (no BOS flag anywhere) has no codec.
+        s = bytearray(synth_ogg(0))
+        s[5] = 0                      # clear BOS on the first page
+        with pytest.raises(ValueError, match="no Vorbis/Opus id header"):
+            probe_ogg(bytes(s))
+
+    def test_zero_rate_rejected(self):
+        s = synth_ogg(0).replace(
+            (8000).to_bytes(4, "little"), bytes(4), 1)
+        with pytest.raises(ValueError, match="zero rate"):
+            probe_ogg(s)
+
+    def test_opus_preskip_subtracted(self):
+        meta = probe_ogg(synth_ogg(1))   # odd -> Opus, preskip 312
+        assert meta["duration_ms"] == (2000 + 53) * 1000 // 48000
+
+    def test_minus_one_granule_ignored(self):
+        # A -1 granule (page holds no completed packet) must not win
+        # over the real final granule.
+        s = synth_ogg(2)
+        last = s.rindex(b"OggS")
+        extra = (b"OggS\x00\x00" + (-1).to_bytes(8, "little", signed=True)
+                 + s[last + 14:last + 18] + (9).to_bytes(4, "little")
+                 + bytes(4) + b"\x01\x00")
+        meta = probe_ogg(s + extra)
+        assert meta["duration_ms"] == (2000 + 53 * 2) * 1000 // 44100
+
+    def test_truncation_sweep_never_hangs(self):
+        full = synth_ogg(6)
+        for cut in range(len(full)):
+            try:
+                probe_ogg(full[:cut])
+            except ValueError:
+                pass
+
+
+class TestSparkPathStream:
+    def test_webm_ogg_dispatch_and_hostiles(self, spark):
+        rows = [
+            (0, "video", bytearray(synth_webm(0)), {}),
+            (1, "audio", bytearray(synth_ogg(1)), {}),
+            (2, "audio", bytearray(synth_ogg(2)), {}),
+            (3, "video", bytearray(b"\x1a\x45\xdf\xa3 junk"), {}),
+            (4, "audio", bytearray(b"OggS broken page"), {}),
+        ]
+        out = {r["asset_id"]: r.asDict() for r in probe_media(
+            spark.createDataFrame(rows, ASSET_SCHEMA)).collect()}
+        assert out[0]["container"] == "webm"
+        assert out[0]["width"] == 320
+        assert out[1]["container"] == "ogg-opus"
+        assert out[2]["container"] == "ogg-vorbis"
+        for hostile in (3, 4):
             assert out[hostile]["container"] is None
