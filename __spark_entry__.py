@@ -938,6 +938,45 @@ def q_media_probe_stream(spark, sf_dir):
     )
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of join: attach the most recent preceding error (same user,
+    backward inclusive, 24 h tolerance) to every click event.  Pure
+    DataFrame union-and-window — one shuffle on user_id (see
+    operators/temporal.py).  Lag is integral microseconds; unmatched
+    or out-of-tolerance clicks carry NULLs."""
+    from html_parser_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"))
+    out = asof_join(
+        clicks, errors, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["err_id"], right_order="err_id",
+        tolerance_us=86_400_000_000, lag_col="lag_us",
+    )
+    # Nullable bigints decay to float64 on DuckDB's .df() hash path —
+    # ship them as strings on both twins (CLAUDE.md gotcha).
+    return out.select(
+        "event_id", "user_id",
+        F.col("err_id").cast("string").alias("err_id"),
+        F.col("lag_us").cast("string").alias("lag_us"),
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap sessionization: split each user's event stream at >2 h idle
+    gaps; per-session rollup with integral epoch/duration columns.
+    One shuffle on user_id; the session aggregate reuses the window's
+    hash partitioning (no second exchange)."""
+    from html_parser_spark.operators.temporal import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, key="user_id", ts="ts", order="event_id",
+                         gap_s=7200)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -1002,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": q_media_probe,
         "media_probe_av": q_media_probe_av,
         "media_probe_stream": q_media_probe_stream,
+        "asof_join_events": q_asof_join_events,
+        "sessionize_events": q_sessionize_events,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1837,6 +1878,66 @@ def oracle_sql() -> dict[str, str]:
                    case when i % 4 in (0, 3)
                         then cast(180 + 9 * (i % 6) as varchar) end as height
             from (select unnest(generate_series(0, 63)) as i)
+        """,
+        # asof_join_events twin: the identical union-and-window
+        # algorithm in SQL — tag errors 0 / clicks 1, carry the last
+        # non-null error id/epoch forward per user ordered by
+        # (epoch_us, tag, err_id), then apply the 24 h tolerance.
+        # epoch_us(ts) matches the Spark side's TZ-invariant
+        # unix_timestamp*1e6 + fractional-second derivation exactly.
+        "asof_join_events": """
+            with u as (
+              select user_id, epoch_us(ts) as ts_us, 1 as tag, event_id,
+                     cast(null as bigint) as r_ord,
+                     cast(null as bigint) as r_id,
+                     cast(null as bigint) as r_ts
+              from events where event_type = 'click'
+              union all
+              select user_id, epoch_us(ts), 0, null, event_id, event_id,
+                     epoch_us(ts)
+              from events where event_type = 'error'
+            ), w as (
+              select *,
+                last_value(r_id ignore nulls) over win as m_id,
+                last_value(r_ts ignore nulls) over win as m_ts
+              from u
+              window win as (partition by user_id
+                             order by ts_us, tag, r_ord nulls first
+                             rows between unbounded preceding
+                                      and current row)
+            )
+            select event_id, user_id,
+                   cast(case when ts_us - m_ts
+                                  <= cast(86400 as bigint) * 1000000
+                        then m_id end as varchar) as err_id,
+                   cast(case when ts_us - m_ts
+                                  <= cast(86400 as bigint) * 1000000
+                        then ts_us - m_ts end as varchar) as lag_us
+            from w where tag = 1
+        """,
+        # sessionize_events twin: lag + running-sum session numbering,
+        # then a per-(user, session) rollup; all integral epoch math
+        "sessionize_events": """
+            with g as (
+              select user_id, event_id, epoch_us(ts) as us from events
+            ), f as (
+              select *, case when us - lag(us) over (
+                         partition by user_id order by us, event_id)
+                       > cast(7200 as bigint) * 1000000
+                       then 1 else 0 end as new_sess
+              from g
+            ), s as (
+              select *, sum(new_sess) over (
+                  partition by user_id order by us, event_id
+                  rows between unbounded preceding and current row
+              ) as session_idx
+              from f
+            )
+            select user_id, cast(session_idx as bigint) as session_idx,
+                   count(*) as n_events,
+                   min(us) // 1000000 as start_epoch_s,
+                   max(us) - min(us) as duration_us
+            from s group by user_id, session_idx
         """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,

@@ -122,6 +122,26 @@ CHECKS = {
         "arrow_assign": lambda p: "ArrowEvalPython" in p,
         "no_greatest_nest": lambda p: p.count("greatest") == 0,
     },
+    # temporal operators: union-and-window as-of join and gap
+    # sessionization must be single-shuffle, join-operator-free plans
+    "asof_join_events": {
+        # formatted mode prints each exchange as a "(N) Exchange"
+        # detail header; count those, not the simple-mode string
+        "single_exchange": lambda p:
+            len(re.findall(r"\n\(\d+\) Exchange", p)) == 1,
+        "no_join_operator": lambda p: "Join" not in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p,
+        "pushed_filter": lambda p: re.search(
+            r"PushedFilters:[^\n]*event_type", p),
+    },
+    "sessionize_events": {
+        # the (user, session) aggregate reuses the window's hash(user)
+        # partitioning — no second exchange
+        "single_exchange": lambda p:
+            len(re.findall(r"\n\(\d+\) Exchange", p)) == 1,
+        "partial_agg": lambda p: "HashAggregate" in p,
+        "no_join_operator": lambda p: "Join" not in p,
+    },
     "ann_ivf_batch_topk": {
         # the exploded (query, cell) side must broadcast — the indexed
         # corpus (the 10^9-vector side) never shuffles for the join
