@@ -977,6 +977,28 @@ def q_sessionize_events(spark, sf_dir):
                          gap_s=7200)
 
 
+def q_corpus_split_assign(spark, sf_dir):
+    """Deterministic train/val/test holdout: md5-hash-bucket each
+    doc_id (engine-portable, content-independent — a doc's split
+    never changes as the corpus grows) and map bucket ranges to
+    splits.  Map-only, no shuffle (operators/corpusprep.py)."""
+    from html_parser_spark.operators.corpusprep import split_assign
+
+    d = _docs(spark, sf_dir)
+    return split_assign(d).select("doc_id", "split")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concatenate-and-chop sequence packing plan (GPT-style
+    pretraining layout): shard docs into 8 hash streams, order by id,
+    chop every 512 whitespace tokens; per-doc stream coordinates.
+    One shuffle on the bucket key (operators/corpusprep.py)."""
+    from html_parser_spark.operators.corpusprep import pack_sequences
+
+    d = _docs(spark, sf_dir)
+    return pack_sequences(d, budget=512, n_buckets=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -1043,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe_stream": q_media_probe_stream,
         "asof_join_events": q_asof_join_events,
         "sessionize_events": q_sessionize_events,
+        "corpus_split_assign": q_corpus_split_assign,
+        "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1938,6 +1962,45 @@ def oracle_sql() -> dict[str, str]:
                    min(us) // 1000000 as start_epoch_s,
                    max(us) - min(us) as duration_us
             from s group by user_id, session_idx
+        """,
+        # corpus_split_assign twin: same md5-hex-prefix bucket hash
+        # (Spark conv(substr(md5,1,8),16,10) == DuckDB '0x'||substr
+        # cast), same [900, 950) bucket boundaries
+        "corpus_split_assign": """
+            select doc_id,
+                   case when ('0x' || substr(md5(cast(doc_id as varchar)),
+                                             1, 8))::bigint % 1000 < 900
+                        then 'train'
+                        when ('0x' || substr(md5(cast(doc_id as varchar)),
+                                             1, 8))::bigint % 1000 < 950
+                        then 'val'
+                        else 'test' end as split
+            from documents
+        """,
+        # pack_sequences twin: identical hash-shard + running-sum
+        # stream coordinates; integer floor-division chop at 512
+        "pack_sequences": """
+            with base as (
+              select ('0x' || substr(md5(cast(doc_id as varchar)),
+                                     1, 8))::bigint % 8 as bucket,
+                     doc_id,
+                     cast(len(string_split(text, ' ')) as bigint) as n_tokens
+              from documents
+            ), s as (
+              select *, sum(n_tokens) over (
+                  partition by bucket order by doc_id
+                  rows between unbounded preceding and current row
+              ) - n_tokens as start_offset
+              from base
+            )
+            select bucket, doc_id, n_tokens,
+                   cast(start_offset as bigint) as start_offset,
+                   cast(start_offset // 512 as bigint) as seq_id,
+                   cast(case when n_tokens > 0
+                             and (start_offset + n_tokens - 1) // 512
+                                 > start_offset // 512
+                        then 1 else 0 end as int) as crosses_cut
+            from s
         """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,

@@ -142,6 +142,18 @@ CHECKS = {
         "partial_agg": lambda p: "HashAggregate" in p,
         "no_join_operator": lambda p: "Join" not in p,
     },
+    # corpus prep: hash split must be map-only; packing one exchange
+    "corpus_split_assign": {
+        "map_only": lambda p:
+            not re.findall(r"\n\(\d+\) Exchange", p),
+        "pruned_scan": lambda p: re.search(r"ReadSchema:[^\n]*doc_id", p)
+        and "\"text\"" not in p,
+    },
+    "pack_sequences": {
+        "single_exchange": lambda p:
+            len(re.findall(r"\n\(\d+\) Exchange", p)) == 1,
+        "no_join_operator": lambda p: "Join" not in p,
+    },
     "ann_ivf_batch_topk": {
         # the exploded (query, cell) side must broadcast — the indexed
         # corpus (the 10^9-vector side) never shuffles for the join
