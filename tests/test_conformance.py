@@ -90,8 +90,19 @@ FLOORS = {
     # design), xmp not raw-text, nested <select> kept (no insertion
     # modes) — every one in a documented divergence class
     "wpt_html5lib_vendored2.html": (51, 62),
+    # flow/interactive/media elements (details, dialog, figure, menu,
+    # hgroup, search, picture, video, map, object, datalist, meter) —
+    # full pass: nesting-only divergences (p not closed by the
+    # post-HTML4 closers, optgroup/heading implied closes) are
+    # invisible to the tag-sequence oracle
+    "tests_flow_interactive.dat": (40, 40),
+    # failures are all documented divergence classes: implied
+    # <colgroup> not synthesized (×2), <div> in table not
+    # foster-parented out, stray td/tr/tbody/caption/col kept in body
+    # (no insertion modes), </p> / </br> not synthesized as elements
+    "tests_tables2_strays.dat": (26, 35),
 }
-TOTAL_FLOOR = 605
+TOTAL_FLOOR = 671
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
