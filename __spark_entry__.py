@@ -999,6 +999,79 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(d, budget=512, n_buckets=8)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII accounting + redaction (training-data scrub): per-doc
+    email/IP/SSN/phone counts on the original text plus the text with
+    every match replaced by a typed placeholder.  Deterministic PII is
+    injected into every third document so both zero and multi-match
+    rows are exercised.  Map-only, JVM-side regex (operators/pii.py);
+    patterns use the Java/RE2 shared subset so the DuckDB twin is
+    bit-exact."""
+    from html_parser_spark.operators.pii import pii_scrub
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    inject = F.concat(
+        F.col("text"),
+        F.lit(" reach u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7, ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" tel 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, inject).otherwise(F.col("text")),
+    )
+    return pii_scrub(t)
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic per-stratum rate sampling (corpus mixing): keep a
+    doc iff its md5-prefix bucket falls below the stratum's rate
+    threshold (en 50%, de 10%, default 20%).  Content-independent and
+    engine-portable — the keep/drop decision never changes as the
+    corpus grows.  Map-only, no shuffle (operators/sampling.py)."""
+    from html_parser_spark.operators.sampling import hash_sample
+
+    d = _docs(spark, sf_dir)
+    out = hash_sample(d, rate=0.2, strata_col="lang",
+                      strata_rates={"en": 0.5, "de": 0.1})
+    return out.select("doc_id", "lang")
+
+
+def q_stratified_quota(spark, sf_dir):
+    """Exact per-stratum quota sampling: 25 docs per language, chosen
+    by (md5-prefix hash, id) order — a deterministic uniform draw
+    without replacement.  One shuffle on lang; the rank filter pushes
+    down as WindowGroupLimit so a hot stratum ships at most 25 rows
+    per input partition (operators/sampling.py)."""
+    from html_parser_spark.operators.sampling import stratified_quota
+
+    d = _docs(spark, sf_dir)
+    return stratified_quota(d, strata_col="lang", n=25).select(
+        "doc_id", "lang", "sample_rank")
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Snapshot-delta exact dedup (the production daily-crawl shape):
+    dedup a new batch internally (lowest id per content hash) then
+    anti-join its hashes against the already-ingested history corpus.
+    Batch = docs 200..399 plus id+1000 copies of 350..399 (internal
+    dups); history = docs < 300 — so exactly 300..399 survive.  One
+    hash shuffle + one anti-join (operators/dedup.py)."""
+    from html_parser_spark.operators.dedup import incremental_new_docs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    hist = d.where(F.col("doc_id") < 300)
+    fresh = d.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    dups = (d.where((F.col("doc_id") >= 350) & (F.col("doc_id") < 400))
+            .withColumn("doc_id", F.col("doc_id") + 1000))
+    batch = fresh.unionByName(dups)
+    return incremental_new_docs(batch, hist).select("doc_id", "content_hash")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -1067,6 +1140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "corpus_split_assign": q_corpus_split_assign,
         "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "hash_sample": q_hash_sample,
+        "stratified_quota": q_stratified_quota,
+        "incremental_dedup": q_incremental_dedup,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1102,6 +1179,48 @@ def _simhash_oracle_sql(bits: int = SIMHASH_BITS, max_id: int = 200) -> str:
         select id, {total} as simhash
         from wh group by id
     """  # noqa: E501
+
+
+def _pii_oracle_sql() -> str:
+    """pii_scrub twin built from the SAME pattern table as the Spark
+    side (operators/pii.py PII_PATTERNS — Java/RE2 shared subset, so
+    leftmost non-overlapping match semantics agree engine-to-engine).
+    Counts via len(regexp_extract_all) on the original text; redaction
+    via nested global regexp_replace in the fixed class order."""
+    from html_parser_spark.operators.pii import PII_PATTERNS
+
+    inject = (
+        "text || ' reach u' || cast(doc_id as varchar) "
+        "|| '@mail.example.org or 10.0.' "
+        "|| cast(doc_id % 256 as varchar) || '.7, ssn 123-45-' "
+        "|| lpad(cast(doc_id % 10000 as varchar), 4, '0') "
+        "|| ' tel 415-555-' "
+        "|| lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+    )
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{pat}')) as n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+        with t as (
+            select doc_id,
+                   case when doc_id % 3 = 0 then {inject} else text end
+                       as text
+            from documents where doc_id < 400
+        )
+        select doc_id,
+               {counts},
+               {total} as n_pii,
+               {red} as redacted
+        from t
+    """
 
 
 def _ivf_batch_oracle_sql() -> str:
@@ -2001,6 +2120,57 @@ def oracle_sql() -> dict[str, str]:
                                  > start_offset // 512
                         then 1 else 0 end as int) as crosses_cut
             from s
+        """,
+        "pii_scrub": _pii_oracle_sql(),
+        # hash_sample twin: same md5-hex-prefix bucket in [0, 1e6),
+        # same per-lang thresholds (en 500k, de 100k, default 200k);
+        # NULL lang falls through the CASE to the default on both
+        # engines (3VL-consistent)
+        "hash_sample": """
+            select doc_id, lang from documents
+            where ('0x' || substr(md5(cast(doc_id as varchar)),
+                                  1, 8))::bigint % 1000000
+                  < case when lang = 'en' then 500000
+                         when lang = 'de' then 100000
+                         else 200000 end
+        """,
+        # stratified_quota twin: row_number over (hash-bucket, id)
+        # within each lang, rank filter at 25
+        "stratified_quota": """
+            select doc_id, lang, sample_rank from (
+                select doc_id, lang,
+                       row_number() over (
+                           partition by lang
+                           order by ('0x' || substr(md5(cast(doc_id as
+                                        varchar)), 1, 8))::bigint
+                                    % 1000000,
+                                    doc_id) as sample_rank
+                from documents
+            ) where sample_rank <= 25
+        """,
+        # incremental_dedup twin: internal first-per-hash window over
+        # the synthesized batch, then NOT EXISTS against the history
+        # hash set — exactly docs 300..399 survive
+        "incremental_dedup": """
+            with hist as (
+                select distinct md5(text) as content_hash
+                from documents where doc_id < 300
+            ), batch as (
+                select doc_id, text from documents
+                where doc_id >= 200 and doc_id < 400
+                union all
+                select doc_id + 1000 as doc_id, text from documents
+                where doc_id >= 350 and doc_id < 400
+            ), b as (
+                select doc_id, md5(text) as content_hash,
+                       row_number() over (partition by md5(text)
+                                          order by doc_id asc) as rn
+                from batch
+            )
+            select doc_id, content_hash from b
+            where rn = 1 and not exists (
+                select 1 from hist
+                where hist.content_hash = b.content_hash)
         """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,

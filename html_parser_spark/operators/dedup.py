@@ -509,3 +509,51 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def incremental_new_docs(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_history: bool = False,
+) -> DataFrame:
+    """Snapshot-delta dedup: which documents in a new ``batch`` are
+    genuinely new relative to an already-ingested ``history`` corpus?
+
+    The production shape of exact dedup — a pipeline never re-hashes
+    the full 100 TB corpus per crawl; it dedups the daily batch (a)
+    internally (keep the lowest id per content hash, same rule as
+    ``exact_dedup``) and (b) against the history's content-hash set
+    via a LEFT ANTI join.  Returns the surviving batch rows plus
+    their ``content_hash``.
+
+    ``history`` may be raw documents (any columns; only ``text_col``
+    is read) or a precomputed hash set — pass a one-column DataFrame
+    named ``content_hash`` to skip re-hashing (the control-table
+    pattern: persist the hash set once, anti-join forever).
+
+    Scale notes: one shuffle of the batch on the 16-byte hash key for
+    the internal window + one hash anti-join against history.  At
+    10^12 history rows the anti-join is a shuffled hash join on
+    uniform md5 keys (bucketed history storage makes it co-located);
+    when the history hash set is small (early corpus, per-source
+    slices) ``broadcast_history=True`` pins a BroadcastHashJoin and
+    the batch never shuffles for the join at all.
+    """
+    if "content_hash" in history.columns:
+        seen = history.select("content_hash").distinct()
+    else:
+        seen = history.select(
+            F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    if broadcast_history:
+        seen = F.broadcast(seen)
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    batch_first = (
+        batch.withColumn("content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return batch_first.join(seen, on="content_hash", how="left_anti")
