@@ -101,8 +101,19 @@ FLOORS = {
     # foster-parented out, stray td/tr/tbody/caption/col kept in body
     # (no insertion modes), </p> / </br> not synthesized as elements
     "tests_tables2_strays.dat": (26, 35),
+    # element-scope / implied-close family (button scope, a-in-a,
+    # option/optgroup chains, p-closers, li/dd reaching through <div>,
+    # object/marquee/applet containment, noscript head/body) — sole
+    # failure is the canonical adoption-agency case <a>1<p>2</a>3</p>
+    # (documented divergence class)
+    "tests_scope_misc.dat": (33, 34),
+    # MathML foreign content: token/integration-point cases pass
+    # because the permissive parser nests unknown elements naturally;
+    # failures are svg-subtree-opaque (findSvgSubtreeEnd design) and
+    # math-in-table foster parenting — both documented classes
+    "tests_math_content.dat": (23, 25),
 }
-TOTAL_FLOOR = 671
+TOTAL_FLOOR = 727
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
