@@ -154,6 +154,44 @@ CHECKS = {
             len(re.findall(r"\n\(\d+\) Exchange", p)) == 1,
         "no_join_operator": lambda p: "Join" not in p,
     },
+    # PII scrub: per-row JVM regex — must stay map-only with a
+    # two-column scan (lang/source/n_chars never read)
+    "pii_scrub": {
+        "map_only": lambda p:
+            not re.findall(r"\n\(\d+\) Exchange", p),
+        "pruned_scan": lambda p:
+            re.search(r"ReadSchema:[^\n]*text", p) and "n_chars" not in p,
+        "codegen": lambda p: "WholeStageCodegen" in p or "Found" in p,
+    },
+    # hash sampling: a scalar hash compare — map-only, no shuffle
+    "hash_sample": {
+        "map_only": lambda p:
+            not re.findall(r"\n\(\d+\) Exchange", p),
+        "pruned_scan": lambda p:
+            re.search(r"ReadSchema:[^\n]*lang", p) and "n_chars" not in p,
+    },
+    # quota sampling: rank filter must push down as a partial
+    # WindowGroupLimit BEFORE the stratum exchange, so a hot stratum
+    # ships at most n rows per input partition
+    "stratified_quota": {
+        "single_exchange": lambda p:
+            len(re.findall(r"\n\(\d+\) Exchange", p)) == 1,
+        "window_group_limit_before_exchange": lambda p:
+            _window_group_limit_before_exchange(p),
+        "no_join_operator": lambda p: "Join" not in p,
+    },
+    # incremental dedup: internal first-per-hash window gets the same
+    # group-limit pushdown (rn=1 ⇒ ≤1 row per hash per partition
+    # before the shuffle); history probe is a hash anti-join (AQE
+    # picks broadcast at test size), never a cartesian
+    "incremental_dedup": {
+        "anti_join": lambda p: "LeftAnti" in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        "window_group_limit_before_exchange": lambda p:
+            _window_group_limit_before_exchange(p),
+        "pruned_scan": lambda p: "n_chars" not in p,
+    },
     "ann_ivf_batch_topk": {
         # the exploded (query, cell) side must broadcast — the indexed
         # corpus (the 10^9-vector side) never shuffles for the join
