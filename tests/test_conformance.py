@@ -112,8 +112,16 @@ FLOORS = {
     # failures are svg-subtree-opaque (findSvgSubtreeEnd design) and
     # math-in-table foster parenting — both documented classes
     "tests_math_content.dat": (23, 25),
+    # 43 NEW full-document WPT-format cases (doctype placement,
+    # comment tokenization incl. <!--> / <!--->, bogus markup, table
+    # structure, head metadata, attribute quoting); all 6 failures in
+    # documented divergence classes: </br> not synthesized, permissive
+    # tag-name scanner accepts <%= as a tag (tables.zig:41-43), foster
+    # parenting, stray td kept in body, adoption-agency cascade,
+    # svg-subtree-opaque
+    "wpt_html5lib_vendored3.html": (37, 43),
 }
-TOTAL_FLOOR = 727
+TOTAL_FLOOR = 764
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
