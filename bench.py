@@ -207,7 +207,7 @@ QUERY_PICKS = [
     "text_quality", "fingerprint", "ann_cosine_topk",
     "lsh_candidate_pairs", "window_top_order",
     "simhash_banded_pairs", "embedding_neardup", "pdf_extract",
-    "ann_ivf_batch_topk",
+    "ann_ivf_batch_topk", "pii_scrub", "incremental_dedup",
 ]
 
 # The 3 most expensive suite queries get the headline's interleaved
