@@ -1072,6 +1072,21 @@ def q_incremental_dedup(spark, sf_dir):
     return incremental_new_docs(batch, hist).select("doc_id", "content_hash")
 
 
+def q_unigram_nll(spark, sf_dir):
+    """Corpus-statistical quality scoring (the CCNet/Gopher
+    LM-perplexity filter, codec-free): per-doc mean negative log
+    probability under the corpus's own add-1-smoothed unigram model.
+    Two keyed aggregations + one token join (model side is one row
+    per token); floor-quantized to 4 decimals — avg-of-logs agrees
+    across engines far below 1e-4 (operators/textstats.py)."""
+    from html_parser_spark.operators.textstats import doc_neg_logprob
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    out = doc_neg_logprob(d)
+    return out.select(
+        "doc_id", (F.floor(F.col("nll") * 10000) / 10000).alias("nll"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -1144,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_quota": q_stratified_quota,
         "incremental_dedup": q_incremental_dedup,
+        "unigram_nll": q_unigram_nll,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -2171,6 +2187,28 @@ def oracle_sql() -> dict[str, str]:
             where rn = 1 and not exists (
                 select 1 from hist
                 where hist.content_hash = b.content_hash)
+        """,
+        # unigram_nll twin: same add-1-smoothed unigram NLL, floor at
+        # 4 decimals (double log/avg agrees across engines ≪ 1e-4)
+        "unigram_nll": """
+            with toks as (
+                select doc_id,
+                       unnest(string_split(text, ' ')) as token
+                from documents where doc_id < 300
+            ), tf as (
+                select * from toks where token <> ''
+            ), freq as (
+                select token, count(*) as n from tf group by token
+            ), tot as (
+                select cast(sum(n) as double) as N_,
+                       cast(count(*) as double) as V_
+                from freq
+            )
+            select t.doc_id,
+                   floor(avg(-ln((f.n + 1.0) / (tot.N_ + 1.0 * tot.V_)))
+                         * 10000) / 10000 as nll
+            from tf t join freq f using (token), tot
+            group by t.doc_id
         """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,

@@ -259,3 +259,75 @@ def contamination_check(
             (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram model: whitespace-token frequencies
+    ``(token, n)``.  One explode + one hash aggregation on the token
+    key; partial (map-side) aggregation absorbs the stopword skew
+    before the shuffle."""
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+
+
+def doc_neg_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    model: DataFrame | None = None,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an add-alpha
+    smoothed corpus unigram model — the codec-free stand-in for the
+    CCNet/Gopher LM-perplexity quality filter: common-language
+    documents score low, rare-token / garbled documents score high.
+
+    ``nll(d) = avg over token instances t in d of
+               -ln((count(t) + alpha) / (N + alpha * V))``
+
+    where N = total token instances and V = vocabulary size, both
+    measured on the model corpus.  Pass ``model`` (a precomputed
+    ``unigram_counts`` frame) to score one corpus against another
+    (e.g. score a crawl against a trusted reference corpus, exactly
+    the CCNet setup); default scores ``docs`` against itself.
+    Documents with zero tokens produce no row (no probability mass to
+    average).
+
+    Scale shape: token frequencies aggregate map-side first, so hot
+    stopwords arrive pre-combined; the scoring join keys on the token
+    — the model side has ONE row per token, so hot probe keys hash
+    against a single build row and AQE's skew split handles the rest.
+    ``broadcast_model=True`` pins a broadcast join for moderate
+    vocabularies (the per-token scalars are ~24 B/row, so a 10M-token
+    vocab broadcasts in ~240 MB); leave False at web-corpus vocabulary
+    sizes.  The two scalar totals ride along via a broadcast 1-row
+    cross join — nothing collects to the driver.
+    """
+    freq = unigram_counts(docs, text_col) if model is None else model
+    if broadcast_model:
+        freq = F.broadcast(freq)
+    tot = freq.agg(
+        F.sum("n").cast("double").alias("_N"),
+        F.count(F.lit(1)).cast("double").alias("_V"),
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    # LEFT join: a token absent from the model vocabulary (possible
+    # when scoring one corpus against another) gets the smoothed floor
+    # probability alpha/(N + alpha*V) instead of being silently
+    # dropped from the average.
+    nlp = -F.log(
+        (F.coalesce(F.col("n"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.col("_N") + F.lit(float(alpha)) * F.col("_V"))
+    )
+    return (
+        toks.join(freq, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(F.avg(nlp).alias("nll"))
+    )

@@ -185,3 +185,51 @@ class TestIncrementalDedup:
         out = {r["doc_id"] for r in
                incremental_new_docs(batch, hist).collect()}
         assert out == {10}
+
+
+class TestUnigramNll:
+    """doc_neg_logprob — the CCNet-style unigram quality scorer."""
+
+    def test_hand_computed_self_model(self, spark):
+        import math
+
+        d = _docs(spark, [(1, "a a b"), (2, "b c")])
+        # counts: a:2 b:2 c:1 -> N=5 V=3, add-1 denom = 8
+        rows = {r["doc_id"]: r["nll"]
+                for r in __import__("html_parser_spark.operators.textstats",
+                                    fromlist=["doc_neg_logprob"])
+                .doc_neg_logprob(d).collect()}
+        exp1 = -math.log(3 / 8)                      # three 'a'/'b' tokens
+        exp2 = (-math.log(3 / 8) - math.log(2 / 8)) / 2
+        assert abs(rows[1] - exp1) < 1e-9
+        assert abs(rows[2] - exp2) < 1e-9
+        # rare-token doc scores strictly higher (more surprising)
+        assert rows[2] > rows[1]
+
+    def test_oov_gets_smoothed_floor(self, spark):
+        import math
+
+        from html_parser_spark.operators.textstats import (
+            doc_neg_logprob, unigram_counts,
+        )
+
+        ref = _docs(spark, [(1, "a a b")])          # model corpus
+        model = unigram_counts(ref)                  # a:2 b:1, N=3 V=2
+        target = _docs(spark, [(9, "zzz")])          # fully OOV
+        r = doc_neg_logprob(target, model=model).collect()[0]
+        assert abs(r["nll"] - (-math.log(1 / 5))) < 1e-9
+
+    def test_empty_doc_excluded(self, spark):
+        from html_parser_spark.operators.textstats import doc_neg_logprob
+
+        d = _docs(spark, [(1, "a"), (2, "")])
+        ids = {r["doc_id"] for r in doc_neg_logprob(d).collect()}
+        assert ids == {1}
+
+    def test_broadcast_model_plan(self, spark):
+        from html_parser_spark.operators.textstats import doc_neg_logprob
+
+        d = _docs(spark, [(1, "a b"), (2, "b c")])
+        p = _plan(doc_neg_logprob(d, broadcast_model=True))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
