@@ -1087,6 +1087,31 @@ def q_unigram_nll(spark, sf_dir):
         "doc_id", (F.floor(F.col("nll") * 10000) / 10000).alias("nll"))
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Lexical retrieval: top-20 documents by Okapi/Lucene BM25 for a
+    3-term query.  The query-term filter lands before the tf
+    aggregation (only matching postings shuffle); df and corpus stats
+    broadcast; final top-k is a TakeOrdered.  Scores floor-quantized
+    to 4 decimals BEFORE ranking so the selected set and tie-breaks
+    (score desc, id asc) are engine-portable
+    (operators/lexical.py)."""
+    from html_parser_spark.operators.lexical import bm25_topk
+
+    d = _docs(spark, sf_dir)
+    return bm25_topk(d, ["hash", "merge", "customer"], k=20)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (RAG / long-context prep): 32-token
+    windows overlapping by 8, final short window kept, empty docs
+    yield one empty chunk.  Pure row expansion in the scan projection
+    — no shuffle, no Python (operators/corpusprep.py)."""
+    from html_parser_spark.operators.corpusprep import chunk_documents
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return chunk_documents(d, chunk=32, overlap=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -1160,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_quota": q_stratified_quota,
         "incremental_dedup": q_incremental_dedup,
         "unigram_nll": q_unigram_nll,
+        "bm25_topk": q_bm25_topk,
+        "chunk_documents": q_chunk_documents,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -2209,6 +2236,71 @@ def oracle_sql() -> dict[str, str]:
                          * 10000) / 10000 as nll
             from tf t join freq f using (token), tot
             group by t.doc_id
+        """,
+        # bm25_topk twin: identical Lucene-variant BM25 (k1=1.2,
+        # b=0.75), floor-quantized scores rank with id tie-break so
+        # the top-20 SET matches across engines
+        "bm25_topk": """
+            with d as (select doc_id as id, text from documents),
+            toks as (
+                select id,
+                       cast(len(string_split(text, ' ')) as double) as dl,
+                       unnest(string_split(text, ' ')) as token
+                from d
+            ), stats as (
+                select cast(count(*) as double) as n_docs,
+                       avg(cast(len(string_split(text, ' ')) as double))
+                           as avgdl
+                from d
+            ), tf as (
+                select id, token, cast(count(*) as double) as tf,
+                       min(dl) as dl
+                from toks
+                where token in ('hash', 'merge', 'customer')
+                group by id, token
+            ), dft as (
+                select token, cast(count(*) as double) as df
+                from tf group by token
+            ), w as (
+                select tf.id,
+                       ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                           as w
+                from tf join dft using (token), stats s
+            ), sc as (
+                select id, floor(sum(w) * 10000) / 10000 as score
+                from w group by id
+            )
+            select id, score from sc
+            order by score desc, id asc limit 20
+        """,
+        # chunk_documents twin: same window-count formula
+        # max(1, ceil((n-8)/24)), 1-based inclusive list slices ==
+        # Spark slice(start, len), final short window truncated alike
+        "chunk_documents": """
+            with d as (
+                select doc_id, string_split(text, ' ') as toks
+                from documents where doc_id < 200
+            ), base as (
+                select doc_id, toks,
+                       cast(len(toks) as bigint) as n_tokens,
+                       greatest(1, cast(ceil((len(toks) - 8.0) / 24.0)
+                                        as bigint)) as nc
+                from d
+            ), e as (
+                select doc_id, n_tokens, toks,
+                       unnest(generate_series(0, nc - 1)) as chunk_idx
+                from base
+            )
+            select doc_id, n_tokens,
+                   cast(chunk_idx as int) as chunk_idx,
+                   cast(len(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)])
+                        as int) as chunk_len,
+                   array_to_string(
+                       toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)],
+                       ' ') as chunk_text
+            from e
         """,
         "streaming_hourly": """
             select (cast(floor(epoch(ts)) as bigint) // 3600) * 3600 as win_epoch,

@@ -137,3 +137,51 @@ def split_counts(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text").cast("long")).alias("n_tokens"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / long-context prep):
+    split each document into windows of ``chunk`` whitespace tokens
+    overlapping by ``overlap``, emitting ``(id, n_tokens, chunk_idx,
+    chunk_len, chunk_text)``.
+
+    Window starts step by ``chunk - overlap``; the number of windows
+    is ``max(1, ceil((n_tokens - overlap) / step))`` so every token is
+    covered, the final (possibly short) window is kept, and an empty
+    document still yields one empty chunk.
+
+    Scale shape: pure row expansion — ``explode(sequence(...))`` over
+    a per-row computed window count plus ``slice`` on the cached token
+    array, all in the scan projection.  No shuffle, no Python; output
+    row count is ~``n_tokens / step`` per doc, bounded and uniform.
+    """
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap({overlap}) < chunk({chunk})")
+    step = chunk - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n.cast("double") - F.lit(float(overlap))) / F.lit(float(step))),
+    )
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.cast("long").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+            .alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, chunk)
+    return base.select(
+        id_col,
+        "n_tokens",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).cast("int").alias("chunk_len"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
