@@ -192,6 +192,29 @@ CHECKS = {
             _window_group_limit_before_exchange(p),
         "pruned_scan": lambda p: "n_chars" not in p,
     },
+    # unigram NLL: token frequencies aggregate map-side (partial);
+    # scalar totals ride a broadcast 1-row join, never a cartesian
+    # over data rows
+    "unigram_nll": {
+        "partial_agg": lambda p: "HashAggregate" in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p,
+        "pruned_scan": lambda p: "n_chars" not in p,
+    },
+    # BM25: query-term postings only (filter before tf agg), df/stats
+    # broadcast, top-k as TakeOrdered — no global sort, no SMJ
+    "bm25_topk": {
+        "takeordered": lambda p: "TakeOrderedAndProject" in p,
+        "broadcast_join": lambda p: "BroadcastHashJoin" in p,
+        "no_sort_merge": lambda p: "SortMergeJoin" not in p,
+        "partial_agg": lambda p: "HashAggregate" in p,
+    },
+    # chunking: pure row expansion in the scan projection
+    "chunk_documents": {
+        "map_only": lambda p:
+            not re.findall(r"\n\(\d+\) Exchange", p),
+        "no_join_operator": lambda p: "Join" not in p,
+        "pruned_scan": lambda p: "n_chars" not in p,
+    },
     "ann_ivf_batch_topk": {
         # the exploded (query, cell) side must broadcast — the indexed
         # corpus (the 10^9-vector side) never shuffles for the join
