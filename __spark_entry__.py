@@ -1112,6 +1112,34 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(d, chunk=32, overlap=8)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    top-20 (lexical) and the cosine top-20 (semantic, same id space).
+    Both lists rank on quantized scores with id tie-breaks, so rank
+    assignment — and therefore the fused order — is engine-portable.
+    Nullable int ranks ship as strings (the .df() float64-decay
+    gotcha).  operators/lexical.rrf_fuse."""
+    from html_parser_spark.operators.lexical import bm25_topk, rrf_fuse
+
+    d = _docs(spark, sf_dir)
+    lex = bm25_topk(d, ["hash", "merge", "customer"], k=20)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    sem = (
+        cosine_topk(e.where(F.col("vec_id") != 0),
+                    [float(x) for x in qvec], k=20)
+        .select(F.col("vec_id").alias("id"),
+                F.round("cosine", 4).alias("cosine"))
+    )
+    out = rrf_fuse(lex, sem, id_col="id", score_a="score",
+                   score_b="cosine", k=60, topn=10)
+    return out.select(
+        "id", "rrf",
+        F.col("rank_a").cast("string").alias("rank_a"),
+        F.col("rank_b").cast("string").alias("rank_b"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -1187,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
+        "hybrid_rrf": q_hybrid_rrf,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1263,6 +1292,47 @@ def _pii_oracle_sql() -> str:
                {total} as n_pii,
                {red} as redacted
         from t
+    """
+
+
+def _bm25_oracle_sql() -> str:
+    """Lucene-variant BM25 top-20 over ``documents`` for the fixed
+    3-term query — floor-quantized scores rank with id tie-break so
+    the selected set matches across engines."""
+    return """
+            with d as (select doc_id as id, text from documents),
+            toks as (
+                select id,
+                       cast(len(string_split(text, ' ')) as double) as dl,
+                       unnest(string_split(text, ' ')) as token
+                from d
+            ), stats as (
+                select cast(count(*) as double) as n_docs,
+                       avg(cast(len(string_split(text, ' ')) as double))
+                           as avgdl
+                from d
+            ), tf as (
+                select id, token, cast(count(*) as double) as tf,
+                       min(dl) as dl
+                from toks
+                where token in ('hash', 'merge', 'customer')
+                group by id, token
+            ), dft as (
+                select token, cast(count(*) as double) as df
+                from tf group by token
+            ), w as (
+                select tf.id,
+                       ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                           as w
+                from tf join dft using (token), stats s
+            ), sc as (
+                select id, floor(sum(w) * 10000) / 10000 as score
+                from w group by id
+            )
+            select id, score from sc
+            order by score desc, id asc limit 20
     """
 
 
@@ -2240,40 +2310,45 @@ def oracle_sql() -> dict[str, str]:
         # bm25_topk twin: identical Lucene-variant BM25 (k1=1.2,
         # b=0.75), floor-quantized scores rank with id tie-break so
         # the top-20 SET matches across engines
-        "bm25_topk": """
-            with d as (select doc_id as id, text from documents),
-            toks as (
-                select id,
-                       cast(len(string_split(text, ' ')) as double) as dl,
-                       unnest(string_split(text, ' ')) as token
-                from d
-            ), stats as (
-                select cast(count(*) as double) as n_docs,
-                       avg(cast(len(string_split(text, ' ')) as double))
-                           as avgdl
-                from d
-            ), tf as (
-                select id, token, cast(count(*) as double) as tf,
-                       min(dl) as dl
-                from toks
-                where token in ('hash', 'merge', 'customer')
-                group by id, token
-            ), dft as (
-                select token, cast(count(*) as double) as df
-                from tf group by token
-            ), w as (
-                select tf.id,
-                       ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
-                         * tf.tf * 2.2
-                         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
-                           as w
-                from tf join dft using (token), stats s
-            ), sc as (
-                select id, floor(sum(w) * 10000) / 10000 as score
-                from w group by id
+        "bm25_topk": _bm25_oracle_sql(),
+        # hybrid_rrf twin: rank the same two top-20 lists (quantized
+        # scores, id tie-breaks), full outer join, 1/(60+rank) fusion;
+        # nullable ranks ship as varchar (the .df() float64-decay
+        # gotcha); divisions cast to double so DuckDB's decimal
+        # literal arithmetic cannot diverge from IEEE
+        "hybrid_rrf": f"""
+            with lex_top as (select * from ({_bm25_oracle_sql()}) t),
+            lex as (
+                select id, row_number() over (
+                    order by score desc, id asc) as rank_a
+                from lex_top
+            ), sem_top as (
+                select e.vec_id as id,
+                       round(list_cosine_similarity(e.embedding,
+                                                    q.embedding), 4)
+                           as cosine
+                from embeddings e,
+                     (select embedding from embeddings
+                      where vec_id = 0) q
+                where e.vec_id <> 0
+                order by cosine desc, e.vec_id asc limit 20
+            ), sem as (
+                select id, row_number() over (
+                    order by cosine desc, id asc) as rank_b
+                from sem_top
+            ), f as (
+                select coalesce(lex.id, sem.id) as id,
+                       lex.rank_a, sem.rank_b,
+                       coalesce(cast(1 as double) / (60 + lex.rank_a),
+                                cast(0 as double))
+                       + coalesce(cast(1 as double) / (60 + sem.rank_b),
+                                  cast(0 as double)) as rrf
+                from lex full outer join sem on lex.id = sem.id
             )
-            select id, score from sc
-            order by score desc, id asc limit 20
+            select id, rrf,
+                   cast(rank_a as varchar) as rank_a,
+                   cast(rank_b as varchar) as rank_b
+            from f order by rrf desc, id asc limit 10
         """,
         # chunk_documents twin: same window-count formula
         # max(1, ceil((n-8)/24)), 1-based inclusive list slices ==

@@ -101,3 +101,52 @@ def bm25_topk(
         q = 10 ** quantize
         s = s.withColumn("score", F.floor(F.col("score") * q) / q)
     return s.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "id",
+    score_a: str = "score",
+    score_b: str = "cosine",
+    k: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked result lists (the standard
+    hybrid-retrieval combiner for BM25 + embedding ANN):
+
+        rrf(d) = sum over lists L containing d of 1 / (k + rank_L(d))
+
+    with rank 1-based by (score desc, id asc) within each list and
+    the conventional k=60.  A document missing from one list simply
+    contributes nothing for it — no imputation.  Returns
+    ``(id, rrf, rank_a, rank_b)`` with NULL ranks for one-sided hits,
+    ordered by (rrf desc, id), limited to ``topn``.
+
+    Scale shape: candidate lists are top-k outputs (tiny next to the
+    corpus), so ranking is a window over at most k rows per list and
+    the fusion is a full outer join of two k-row frames; the whole
+    fusion is driver-scale work expressed declaratively — it composes
+    with ``bm25_topk`` / ``ann_cosine_topk`` without collecting.
+    """
+    from pyspark.sql import Window
+
+    wa = Window.orderBy(F.col(score_a).desc(), F.col(id_col).asc())
+    wb = Window.orderBy(F.col(score_b).desc(), F.col(id_col).asc())
+    a = ranked_a.select(id_col, score_a).withColumn(
+        "rank_a", F.row_number().over(wa)).drop(score_a)
+    b = ranked_b.select(id_col, score_b).withColumn(
+        "rank_b", F.row_number().over(wb)).drop(score_b)
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+        )
+    )
+    return (
+        fused.select(id_col, "rrf", "rank_a", "rank_b")
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(topn)
+    )

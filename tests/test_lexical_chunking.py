@@ -108,3 +108,33 @@ class TestChunkDocuments:
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(d, chunk=4, overlap=4)
         assert "Exchange" not in _plan(chunk_documents(d))
+
+
+class TestRrfFuse:
+    def _ranked(self, spark, rows, score_col):
+        return spark.createDataFrame(rows, f"id long, {score_col} double")
+
+    def test_hand_computed_fusion(self, spark):
+        from html_parser_spark.operators.lexical import rrf_fuse
+
+        a = self._ranked(spark, [(1, 0.9), (2, 0.8), (3, 0.7)], "score")
+        b = self._ranked(spark, [(2, 0.99), (4, 0.5)], "cosine")
+        rows = {r["id"]: r for r in
+                rrf_fuse(a, b, topn=10).collect()}
+        # doc 2: rank 2 lexical + rank 1 semantic
+        assert abs(rows[2]["rrf"] - (1 / 62 + 1 / 61)) < 1e-12
+        # one-sided hits: contribution only from the list they appear in
+        assert abs(rows[1]["rrf"] - 1 / 61) < 1e-12
+        assert abs(rows[4]["rrf"] - 1 / 62) < 1e-12
+        assert rows[1]["rank_b"] is None and rows[4]["rank_a"] is None
+        # both-lists doc outranks every one-sided doc
+        assert rows[2]["rrf"] > rows[1]["rrf"] > rows[3]["rrf"]
+
+    def test_rank_ties_broken_by_id(self, spark):
+        from html_parser_spark.operators.lexical import rrf_fuse
+
+        a = self._ranked(spark, [(5, 0.5), (3, 0.5), (4, 0.5)], "score")
+        b = self._ranked(spark, [], "cosine").where(F.lit(False))
+        rows = rrf_fuse(a, b, topn=2).collect()
+        assert [r["id"] for r in rows] == [3, 4]
+        assert [r["rank_a"] for r in rows] == [1, 2]
