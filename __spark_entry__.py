@@ -1140,6 +1140,29 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
+def q_pagerank_links(spark, sf_dir):
+    """Link-graph PageRank (the CommonCrawl-style document-quality
+    prior): 8 damped iterations with dangling-mass redistribution over
+    a deterministic synthetic multigraph on doc ids < 100 (two modular
+    out-links each, a third for ids % 3 == 0, ids % 17 == 0 emit
+    nothing and dangle).  One aggregation shuffle per iteration,
+    localCheckpoint lineage truncation (operators/graph.py); ranks
+    floor-quantized at 6 decimals."""
+    from html_parser_spark.operators.graph import pagerank
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("src"))
+    e1 = d.select("src", ((F.col("src") * 7 + 3) % 100).alias("dst"))
+    e2 = d.select("src", ((F.col("src") * 13 + 11) % 100).alias("dst"))
+    e3 = d.where(F.col("src") % 3 == 0).select(
+        "src", ((F.col("src") + 1) % 100).alias("dst"))
+    edges = (e1.unionByName(e2).unionByName(e3)
+             .where(F.col("src") % 17 != 0))
+    pr = pagerank(edges, n_iter=8, damping=0.85, checkpoint_every=4)
+    return pr.select(
+        "node", (F.floor(F.col("rank") * 1000000) / 1000000).alias("rank"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -1216,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
         "hybrid_rrf": q_hybrid_rrf,
+        "pagerank_links": q_pagerank_links,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -1333,6 +1357,71 @@ def _bm25_oracle_sql() -> str:
             )
             select id, score from sc
             order by score desc, id asc limit 20
+    """
+
+
+def _pagerank_oracle_sql(n_iter: int = 8) -> str:
+    """pagerank_links twin: the identical synthetic edge construction
+    and the full damping/dangling update, UNROLLED one CTE per
+    iteration (recursive CTEs cannot re-aggregate the whole rank
+    vector per step).  All constants routed through double casts so
+    DuckDB's decimal literal arithmetic cannot diverge from Spark's
+    IEEE doubles — (1 - 0.85) is computed, not written as 0.15, to
+    reproduce the same representation error."""
+    iters = []
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+            , r{k} as (
+                select nodes.node,
+                       (cast(1 as double) - cast(0.85 as double)) / nn.n
+                       + cast(0.85 as double) * (
+                           coalesce(m.mass, cast(0 as double))
+                           + d.dm / nn.n) as rank
+                from nodes
+                left join (
+                    select ed.dst as node,
+                           sum(r.rank / ed.out_deg) as mass
+                    from ed join r{k - 1} r on r.node = ed.src
+                    group by ed.dst
+                ) m on nodes.node = m.node
+                cross join (
+                    select coalesce(sum(rank), cast(0 as double)) as dm
+                    from r{k - 1}
+                    where node not in (select distinct src from edges)
+                ) d
+                cross join nn
+            )""")
+    return f"""
+            with ids as (
+                select doc_id as src from documents where doc_id < 100
+            ), edges as (
+                select src, (src * 7 + 3) % 100 as dst
+                from ids where src % 17 <> 0
+                union all
+                select src, (src * 13 + 11) % 100 as dst
+                from ids where src % 17 <> 0
+                union all
+                select src, (src + 1) % 100 as dst
+                from ids where src % 3 = 0 and src % 17 <> 0
+            ), nodes as (
+                select src as node from edges
+                union
+                select dst as node from edges
+            ), nn as (
+                select cast(count(*) as double) as n from nodes
+            ), odeg as (
+                select src, cast(count(*) as double) as out_deg
+                from edges group by src
+            ), ed as (
+                select e.src, e.dst, o.out_deg
+                from edges e join odeg o using (src)
+            ), r0 as (
+                select node, cast(1 as double) / nn.n as rank
+                from nodes cross join nn
+            ){''.join(iters)}
+            select node,
+                   floor(rank * 1000000) / 1000000 as rank
+            from r{n_iter}
     """
 
 
@@ -2350,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(rank_b as varchar) as rank_b
             from f order by rrf desc, id asc limit 10
         """,
+        "pagerank_links": _pagerank_oracle_sql(),
         # chunk_documents twin: same window-count formula
         # max(1, ceil((n-8)/24)), 1-based inclusive list slices ==
         # Spark slice(start, len), final short window truncated alike
