@@ -215,6 +215,29 @@ CHECKS = {
         "no_join_operator": lambda p: "Join" not in p,
         "pruned_scan": lambda p: "n_chars" not in p,
     },
+    # RRF fusion: two k-row windows + a full outer join of k-row
+    # frames — no sort-merge machinery, no cartesian over data rows
+    "hybrid_rrf": {
+        "no_cartesian": lambda p: "CartesianProduct" not in p,
+        "partial_agg": lambda p: "HashAggregate" in p,
+        "takeordered_or_sorted_limit": lambda p:
+            "TakeOrderedAndProject" in p or "GlobalLimit" in p,
+    },
+    # PageRank: the checkpointed loop must keep the plan O(1) in the
+    # iteration count — after 8 iterations with checkpoint_every=4
+    # the final plan hangs off a scan of the last checkpoint, not a
+    # 8-deep join tree
+    "pagerank_links": {
+        # with checkpoint_every=4 and n_iter=8 the final plan hangs
+        # off the last checkpoint scan — an 8-iteration join tree in
+        # the plan would mean lineage truncation broke.  (The
+        # per-iteration HashAggregate lives inside the checkpointed
+        # lineage, so no agg check applies to the visible plan.)
+        "lineage_truncated": lambda p:
+            "ExistingRDD" in p or "Scan ExistingRDD" in p,
+        "no_iteration_join_tree": lambda p: p.count("Join") < 8,
+        "no_cartesian": lambda p: "CartesianProduct" not in p,
+    },
     "ann_ivf_batch_topk": {
         # the exploded (query, cell) side must broadcast — the indexed
         # corpus (the 10^9-vector side) never shuffles for the join
