@@ -283,10 +283,14 @@ def q_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint("text").alias("fp"))
 
 def q_ann_cosine_topk(spark, sf_dir):
+    """quantize=4 rounds BEFORE ranking — the same round-then-rank
+    order as the oracle, so the top-5 set and id tie-breaks are
+    engine-portable (not decided by sub-rounding float noise)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    top = cosine_topk(e.where(F.col("vec_id") != 0), [float(x) for x in qvec], k=5)
-    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    top = cosine_topk(e.where(F.col("vec_id") != 0),
+                      [float(x) for x in qvec], k=5, quantize=4)
+    return top.select("vec_id", "cosine")
 
 def q_html_serialize(spark, sf_dir):
     """writeHtml round-trip: first li subtree re-serialized verbatim
@@ -1127,9 +1131,8 @@ def q_hybrid_rrf(spark, sf_dir):
     qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     sem = (
         cosine_topk(e.where(F.col("vec_id") != 0),
-                    [float(x) for x in qvec], k=20)
-        .select(F.col("vec_id").alias("id"),
-                F.round("cosine", 4).alias("cosine"))
+                    [float(x) for x in qvec], k=20, quantize=4)
+        .select(F.col("vec_id").alias("id"), "cosine")
     )
     out = rrf_fuse(lex, sem, id_col="id", score_a="score",
                    score_b="cosine", k=60, topn=10)

@@ -208,6 +208,7 @@ QUERY_PICKS = [
     "lsh_candidate_pairs", "window_top_order",
     "simhash_banded_pairs", "embedding_neardup", "pdf_extract",
     "ann_ivf_batch_topk", "pii_scrub", "incremental_dedup",
+    "bm25_topk",
 ]
 
 # The 3 most expensive suite queries get the headline's interleaved

@@ -10,9 +10,12 @@ curation and sampling.  The edge list is exactly what
 Pure DataFrame iteration — the same checkpointed-loop technique as
 ``dedup.connected_components``:
 
-* per iteration, ONE aggregation shuffle (contributions keyed on the
-  destination node) plus a broadcast of two scalars (node count,
-  dangling mass);
+* per iteration: the contribution aggregation (one shuffle keyed on
+  the destination node), a node-keyed join of the static node frame
+  against the aggregated contributions, and a scalar dangling-mass
+  aggregate over a precomputed is_dangling flag (a filter + tree
+  reduce — the dangling-node SET is static, so no per-iteration
+  anti-join); the two scalars ride broadcast 1-row frames;
 * the damping update is the standard full formula with dangling-mass
   redistribution, so ranks stay a probability distribution
   (sum == 1) even when nodes have no out-links;
@@ -59,27 +62,36 @@ def pagerank(
         .distinct()
     )
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
-    base = nodes.crossJoin(F.broadcast(n_df))
     out_deg = edges.groupBy(F.col(src).alias("u")).agg(
         F.count(F.lit(1)).cast("double").alias("out_deg"))
     ed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).join(
         out_deg, "u")
-    has_out = out_deg.select(F.col("u").alias("node"))
+    # the dangling-node SET never changes — flag it ONCE instead of
+    # anti-joining the full ranks frame every iteration
+    base = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .join(out_deg.select(F.col("u").alias("node"),
+                             F.lit(False).alias("is_dangling")),
+              "node", "left")
+        .withColumn("is_dangling",
+                    F.coalesce(F.col("is_dangling"), F.lit(True)))
+    )
     ranks = base.select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
+        "node", "is_dangling",
+        (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
     for i in range(n_iter):
         contrib = (
-            ed.join(ranks.withColumnRenamed("node", "u"), "u")
+            ed.join(ranks.select(F.col("node").alias("u"), "rank"), "u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_mass"))
         )
-        dang = ranks.join(has_out, "node", "left_anti").agg(
+        dang = ranks.where("is_dangling").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         ranks = (
             base.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
-                "node",
+                "node", "is_dangling",
                 (
                     F.lit(1.0 - damping) / F.col("n_nodes")
                     + F.lit(damping)
@@ -90,4 +102,4 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("node", "rank")

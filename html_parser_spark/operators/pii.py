@@ -51,13 +51,11 @@ def pii_counts(text_col: str = "text") -> Sequence[Column]:
     ``n_<class>`` int column per pattern plus ``n_pii`` (their sum).
     Leftmost non-overlapping matches — identical semantics in Java
     and RE2."""
-    cols = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
+    cols = []
     total = None
     for name, pat, _ in PII_PATTERNS:
         c = F.regexp_count(F.col(text_col), F.lit(pat))
+        cols.append(c.alias(f"n_{name}"))
         total = c if total is None else total + c
     return [*cols, total.alias("n_pii")]
 

@@ -58,7 +58,9 @@ def hash_sample(
     rate (``rate`` is the default for unlisted / NULL strata).
     Map-only — no shuffle."""
     b = hash_bucket(id_col, RATE_SCALE)
-    if strata_rates is None:
+    if not strata_rates:
+        # None OR an empty mapping (a mixture table with no
+        # overrides): everything samples at the default rate
         keep: Column = b < F.lit(_rate_threshold(rate))
     else:
         if strata_col is None:

@@ -47,9 +47,16 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
-    """Exact brute-force top-k by cosine (ties break on id asc)."""
+    """Exact brute-force top-k by cosine (ties break on id asc).
+    ``quantize`` rounds the cosine to that many decimals BEFORE
+    ranking, making the selected set and tie-breaks engine-portable
+    (two scores agreeing at the quantized precision resolve by id on
+    every engine, instead of by sub-rounding float noise)."""
     scored = with_cosine(df, query_vec, vec_col)
+    if quantize is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", quantize))
     return (
         scored.select(F.col(id_col), F.col("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())

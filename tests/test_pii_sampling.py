@@ -100,6 +100,15 @@ class TestHashSample:
         with pytest.raises(ValueError, match="strata_col"):
             hash_sample(d, strata_rates={"en": 0.5})
 
+    def test_empty_strata_rates_uses_default(self, spark):
+        """A mixture table with no overrides (empty dict) must fall
+        back to the default rate, not crash."""
+        d = _docs(spark, [(i, "x") for i in range(100)])
+        a = {r["doc_id"] for r in hash_sample(d, rate=0.3).collect()}
+        b = {r["doc_id"] for r in hash_sample(
+            d, rate=0.3, strata_col="text", strata_rates={}).collect()}
+        assert a == b
+
     def test_map_only_plan(self, spark):
         d = _docs(spark, [(1, "x")])
         assert "Exchange" not in _plan(hash_sample(d, rate=0.5))
