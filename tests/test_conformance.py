@@ -126,8 +126,16 @@ FLOORS = {
     # compositions, void runs, phrasing nests) — full pass: these are
     # the element families the permissive parser and the spec agree on
     "tests_embedded_inline.dat": (45, 45),
+    # 61 NEW full-document WPT-format cases (dl/heading/li chains,
+    # select insertion family, rawtext with markup-like text,
+    # MathML layout elements, table cell flow, frameset docs,
+    # attribute quoting, head metadata, forms); all 6 failures in
+    # documented divergence classes: select insertion mode,
+    # active-formatting reconstruction (×2), adoption agency (×2),
+    # svg-subtree-opaque
+    "wpt_html5lib_vendored4.html": (55, 61),
 }
-TOTAL_FLOOR = 809
+TOTAL_FLOOR = 864
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
