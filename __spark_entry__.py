@@ -1166,6 +1166,28 @@ def q_pagerank_links(spark, sf_dir):
         "node", (F.floor(F.col("rank") * 1000000) / 1000000).alias("rank"))
 
 
+def q_quantile_floor(spark, sf_dir):
+    """Adaptive per-stratum curation thresholds (the Gopher-style
+    'drop the worst quartile PER LANGUAGE' rule): exact per-lang
+    quantiles of n_chars (linear interpolation — Spark `percentile`
+    and DuckDB `quantile_cont` agree bit-for-bit) plus the count
+    surviving the p25 floor.  Two aggregations + one broadcast
+    threshold join-back; the corpus never shuffles
+    (operators/curate.py)."""
+    from html_parser_spark.operators.curate import (
+        percentile_floor_filter, stratum_quantiles,
+    )
+
+    d = _docs(spark, sf_dir)
+    qs = stratum_quantiles(d, "n_chars", "lang", (0.25, 0.5, 0.75))
+    total = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (percentile_floor_filter(d, "n_chars", "lang", 0.25)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")))
+    return (qs.join(total, "lang").join(kept, "lang")
+            .select("lang", "q_0_25", "q_0_5", "q_0_75",
+                    "n_docs", "n_kept"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -1243,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "hybrid_rrf": q_hybrid_rrf,
         "pagerank_links": q_pagerank_links,
+        "quantile_floor": q_quantile_floor,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -2443,6 +2466,29 @@ def oracle_sql() -> dict[str, str]:
             from f order by rrf desc, id asc limit 10
         """,
         "pagerank_links": _pagerank_oracle_sql(),
+        # quantile_floor twin: quantile_cont == Spark percentile
+        # (both linear interpolation on the sorted group), same p25
+        # floor join-back
+        "quantile_floor": """
+            with q as (
+                select lang,
+                       quantile_cont(n_chars, 0.25) as q_0_25,
+                       quantile_cont(n_chars, 0.5) as q_0_5,
+                       quantile_cont(n_chars, 0.75) as q_0_75
+                from documents group by lang
+            ), t as (
+                select lang, count(*) as n_docs
+                from documents group by lang
+            ), k as (
+                select d.lang, count(*) as n_kept
+                from documents d join q on d.lang = q.lang
+                where d.n_chars >= q.q_0_25
+                group by d.lang
+            )
+            select q.lang, q.q_0_25, q.q_0_5, q.q_0_75,
+                   t.n_docs, k.n_kept
+            from q join t using (lang) join k using (lang)
+        """,
         # chunk_documents twin: same window-count formula
         # max(1, ceil((n-8)/24)), 1-based inclusive list slices ==
         # Spark slice(start, len), final short window truncated alike

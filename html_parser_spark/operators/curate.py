@@ -76,3 +76,51 @@ def curation_stats(curated: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("reason")
     )
+
+
+def stratum_quantiles(
+    docs: DataFrame,
+    value_col: str,
+    strata_col: str = "lang",
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-stratum quantiles of ``value_col`` (linear
+    interpolation — Spark ``percentile`` and DuckDB ``quantile_cont``
+    agree bit-for-bit on the same doubles): one row per stratum with
+    ``q_<prob>`` columns.
+
+    Scale note: EXACT percentile sorts each group's values — right
+    for per-stratum curation thresholds over bounded strata counts.
+    For quantiles OF a 10^12-row column without grouping, switch the
+    expression to ``percentile_approx`` (t-digest, mergeable partial
+    aggregation) and accept the documented approximation."""
+    arr = "array(" + ", ".join(repr(float(p)) for p in probs) + ")"
+    q = F.expr(f"percentile({value_col}, {arr})")
+    cols = [
+        q.getItem(i).alias(f"q_{str(p).replace('.', '_')}")
+        for i, p in enumerate(probs)
+    ]
+    return docs.groupBy(strata_col).agg(*cols)
+
+
+def percentile_floor_filter(
+    docs: DataFrame,
+    value_col: str,
+    strata_col: str = "lang",
+    prob: float = 0.25,
+) -> DataFrame:
+    """Adaptive per-stratum floor (the Gopher-style 'drop the worst
+    quartile PER LANGUAGE' curation rule, instead of one global
+    threshold that over-prunes low-resource strata): keep documents
+    with ``value_col`` >= their stratum's ``prob``-quantile.  Adds
+    the threshold as ``q_floor``.
+
+    Two aggregations + one broadcast join back (thresholds are one
+    row per stratum — tiny); the corpus itself never shuffles."""
+    th = stratum_quantiles(docs, value_col, strata_col, (prob,))
+    floor_col = f"q_{str(prob).replace('.', '_')}"
+    th = th.select(strata_col, F.col(floor_col).alias("q_floor"))
+    return (
+        docs.join(F.broadcast(th), strata_col)
+        .where(F.col(value_col) >= F.col("q_floor"))
+    )

@@ -242,3 +242,51 @@ class TestUnigramNll:
         p = _plan(doc_neg_logprob(d, broadcast_model=True))
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
+
+
+class TestQuantileFloor:
+    """stratum_quantiles / percentile_floor_filter — curate.py."""
+
+    def _d(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, lang string, v long")
+
+    def test_hand_computed_quantiles(self, spark):
+        from html_parser_spark.operators.curate import stratum_quantiles
+
+        d = self._d(spark, [(i, "en", v) for i, v in
+                            enumerate([1, 2, 3, 4, 5])]
+                    + [(9, "de", 10), (10, "de", 20)])
+        rows = {r["lang"]: r for r in
+                stratum_quantiles(d, "v", "lang", (0.25, 0.5)).collect()}
+        # en: sorted [1..5] -> p25 = 2.0, p50 = 3.0 (linear interp)
+        assert rows["en"]["q_0_25"] == 2.0
+        assert rows["en"]["q_0_5"] == 3.0
+        # de: two values -> p25 = 12.5, p50 = 15.0
+        assert rows["de"]["q_0_25"] == 12.5
+        assert rows["de"]["q_0_5"] == 15.0
+
+    def test_floor_filter_keeps_per_stratum(self, spark):
+        from html_parser_spark.operators.curate import (
+            percentile_floor_filter,
+        )
+
+        d = self._d(spark, [(i, "en", i) for i in range(1, 9)]
+                    + [(20 + i, "de", 100 + i) for i in range(4)])
+        out = percentile_floor_filter(d, "v", "lang", 0.5)
+        by_lang = {}
+        for r in out.collect():
+            by_lang.setdefault(r["lang"], []).append(r["v"])
+            assert r["v"] >= r["q_floor"]
+        # en median of 1..8 = 4.5 -> keeps 5..8; de median 101.5 -> 102,103
+        assert sorted(by_lang["en"]) == [5, 6, 7, 8]
+        assert sorted(by_lang["de"]) == [102, 103]
+
+    def test_threshold_join_is_broadcast(self, spark):
+        from html_parser_spark.operators.curate import (
+            percentile_floor_filter,
+        )
+
+        d = self._d(spark, [(1, "en", 5)])
+        p = _plan(percentile_floor_filter(d, "v", "lang", 0.25))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
