@@ -238,6 +238,15 @@ CHECKS = {
         "no_iteration_join_tree": lambda p: p.count("Join") < 8,
         "no_cartesian": lambda p: "CartesianProduct" not in p,
     },
+    # per-stratum quantile floors: thresholds (one row per stratum)
+    # broadcast back — the corpus side never sort-merge shuffles for
+    # the join
+    "quantile_floor": {
+        "broadcast_join": lambda p: "BroadcastHashJoin" in p,
+        "no_sort_merge": lambda p: "SortMergeJoin" not in p,
+        "partial_agg": lambda p: "HashAggregate" in p
+        or "ObjectHashAggregate" in p or "SortAggregate" in p,
+    },
     "ann_ivf_batch_topk": {
         # the exploded (query, cell) side must broadcast — the indexed
         # corpus (the 10^9-vector side) never shuffles for the join
