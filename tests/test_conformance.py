@@ -138,8 +138,15 @@ FLOORS = {
     # × media × phrasing nests) — full pass: each constituent family
     # is individually verified above; these pin their interactions
     "tests_compositions.dat": (40, 40),
+    # comment/bang/PI/doctype tokenization edges; the 2 failures are
+    # the reference's own tokenizer design, cited to source: skipPi
+    # requires a full '?>' so '<?>' consumes to EOF
+    # (parser.zig:458-466), and skipComment special-cases only
+    # '<!-->' so the spec's '<!--->' empty comment also consumes to
+    # EOF — both faithfully mirrored by kernel/htmlparse.py
+    "tests_bogus_doctype.dat": (23, 25),
 }
-TOTAL_FLOOR = 904
+TOTAL_FLOOR = 927
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
