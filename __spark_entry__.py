@@ -1188,6 +1188,35 @@ def q_quantile_floor(spark, sf_dir):
                     "n_docs", "n_kept"))
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """Multi-level aggregation: ROLLUP over (lang, source) with
+    doc counts, char sums, and the grouping-id bit vector — the
+    corpus accounting table a mixture designer reads (per-slice,
+    per-lang subtotal, grand total in ONE pass; Catalyst expands the
+    rollup into a single Expand + hash aggregate, not three scans).
+    Integral sums cast BIGINT on the oracle (HUGEINT .df() decay)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"),
+             F.grouping_id().alias("gid"))
+    )
+
+
+def q_corpus_pivot(spark, sf_dir):
+    """Pivot: per-lang char totals across four explicit sources as
+    columns (the wide corpus-mix report).  An explicit value list
+    keeps the schema static — no driver-side distinct scan.  Nullable
+    bigint cells ship as strings on both twins (the .df()
+    float64-decay gotcha)."""
+    srcs = ["src0", "src1", "src2", "src3"]
+    d = _docs(spark, sf_dir).where(F.col("source").isin(srcs))
+    wide = d.groupBy("lang").pivot("source", srcs).agg(F.sum("n_chars"))
+    return wide.select(
+        "lang", *[F.col(s).cast("string").alias(s) for s in srcs])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction pipeline over sf0.001 transcripts."""
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", n_convs=N_CONVS)
@@ -1266,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "pagerank_links": q_pagerank_links,
         "quantile_floor": q_quantile_floor,
+        "corpus_rollup": q_corpus_rollup,
+        "corpus_pivot": q_corpus_pivot,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
@@ -2466,6 +2497,30 @@ def oracle_sql() -> dict[str, str]:
             from f order by rrf desc, id asc limit 10
         """,
         "pagerank_links": _pagerank_oracle_sql(),
+        # corpus_rollup twin: GROUP BY ROLLUP with the same
+        # grouping-id bit convention (first column = high bit)
+        "corpus_rollup": """
+            select lang, source, count(*) as n_docs,
+                   cast(sum(n_chars) as bigint) as sum_chars,
+                   cast(grouping(lang, source) as int) as gid
+            from documents group by rollup(lang, source)
+        """,
+        # corpus_pivot twin: conditional aggregation; nullable bigint
+        # cells ship as varchar
+        "corpus_pivot": """
+            select lang,
+                   cast(sum(n_chars) filter (where source = 'src0')
+                        as varchar) as src0,
+                   cast(sum(n_chars) filter (where source = 'src1')
+                        as varchar) as src1,
+                   cast(sum(n_chars) filter (where source = 'src2')
+                        as varchar) as src2,
+                   cast(sum(n_chars) filter (where source = 'src3')
+                        as varchar) as src3
+            from documents
+            where source in ('src0', 'src1', 'src2', 'src3')
+            group by lang
+        """,
         # quantile_floor twin: quantile_cont == Spark percentile
         # (both linear interpolation on the sorted group), same p25
         # floor join-back

@@ -19,7 +19,8 @@ TABLE_DDL = {
                  "l_discount double, l_tax double, l_returnflag varchar, l_linestatus varchar"),
     "events": ("event_id bigint, ts timestamp, user_id bigint, event_type varchar, "
                "value double, props varchar"),
-    "documents": "doc_id bigint, text varchar, lang varchar, n_chars bigint",
+    "documents": ("doc_id bigint, text varchar, lang varchar, "
+                  "source varchar, n_chars bigint"),
     "embeddings": "vec_id bigint, embedding float[]",
 }
 
