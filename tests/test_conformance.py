@@ -145,8 +145,15 @@ FLOORS = {
     # '<!-->' so the spec's '<!--->' empty comment also consumes to
     # EOF — both faithfully mirrored by kernel/htmlparse.py
     "tests_bogus_doctype.dat": (23, 25),
+    # custom elements / web components (hyphenated tags, nested
+    # autonomous elements, custom tags in lists/forms/headings) plus
+    # obsolete-unknown elements (blink, spacer, isindex as ordinary
+    # per the current spec) — the 2 failures are documented classes:
+    # foster parenting (custom tag in table) and the select insertion
+    # mode (non-option content dropped to text)
+    "tests_custom_elements.dat": (18, 20),
 }
-TOTAL_FLOOR = 927
+TOTAL_FLOOR = 945
 
 
 @pytest.mark.parametrize("name", sorted(FLOORS))
