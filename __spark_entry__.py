@@ -1181,7 +1181,10 @@ def q_quantile_floor(spark, sf_dir):
     d = _docs(spark, sf_dir)
     qs = stratum_quantiles(d, "n_chars", "lang", (0.25, 0.5, 0.75))
     total = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    kept = (percentile_floor_filter(d, "n_chars", "lang", 0.25)
+    # reuse the quantile frame as the filter's thresholds — one
+    # percentile aggregation total, like the oracle's shared q CTE
+    kept = (percentile_floor_filter(d, "n_chars", "lang", 0.25,
+                                    thresholds=qs)
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")))
     return (qs.join(total, "lang").join(kept, "lang")
             .select("lang", "q_0_25", "q_0_5", "q_0_75",

@@ -78,6 +78,12 @@ def curation_stats(curated: DataFrame) -> DataFrame:
     )
 
 
+def _quantile_col_name(prob: float) -> str:
+    """Single source of truth for the ``q_<prob>`` alias scheme used
+    by :func:`stratum_quantiles` and its consumers."""
+    return f"q_{str(float(prob)).replace('.', '_')}"
+
+
 def stratum_quantiles(
     docs: DataFrame,
     value_col: str,
@@ -97,7 +103,7 @@ def stratum_quantiles(
     arr = "array(" + ", ".join(repr(float(p)) for p in probs) + ")"
     q = F.expr(f"percentile({value_col}, {arr})")
     cols = [
-        q.getItem(i).alias(f"q_{str(p).replace('.', '_')}")
+        q.getItem(i).alias(_quantile_col_name(p))
         for i, p in enumerate(probs)
     ]
     return docs.groupBy(strata_col).agg(*cols)
@@ -108,6 +114,7 @@ def percentile_floor_filter(
     value_col: str,
     strata_col: str = "lang",
     prob: float = 0.25,
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """Adaptive per-stratum floor (the Gopher-style 'drop the worst
     quartile PER LANGUAGE' curation rule, instead of one global
@@ -115,10 +122,15 @@ def percentile_floor_filter(
     with ``value_col`` >= their stratum's ``prob``-quantile.  Adds
     the threshold as ``q_floor``.
 
-    Two aggregations + one broadcast join back (thresholds are one
-    row per stratum — tiny); the corpus itself never shuffles."""
-    th = stratum_quantiles(docs, value_col, strata_col, (prob,))
-    floor_col = f"q_{str(prob).replace('.', '_')}"
+    Pass ``thresholds`` (an already-computed :func:`stratum_quantiles`
+    frame containing the ``prob`` column) to reuse an existing
+    aggregation instead of re-sorting the corpus.  One percentile
+    aggregation (or zero, with ``thresholds``) + one broadcast join
+    back — thresholds are one row per stratum; the corpus itself
+    never shuffles."""
+    th = (stratum_quantiles(docs, value_col, strata_col, (prob,))
+          if thresholds is None else thresholds)
+    floor_col = _quantile_col_name(prob)
     th = th.select(strata_col, F.col(floor_col).alias("q_floor"))
     return (
         docs.join(F.broadcast(th), strata_col)
