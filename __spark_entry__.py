@@ -48,6 +48,29 @@ SIMHASH_BITS = 60
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+# O(n²) pair generation appears in exactly two queries below
+# (q_ngram_jaccard_pairs, q_simhash_hamming_pairs).  Both are
+# FIXTURE-ONLY exact-verification twins of the banded scale paths
+# (lsh_candidate_pairs / simhash_band_pairs) — this guard makes the
+# shape impossible to lift into a production path by accident.
+ALL_PAIRS_FIXTURE_CAP = 1000
+
+def _assert_all_pairs_fixture(df: DataFrame, what: str) -> None:
+    """Refuse all-pairs self-join generation beyond the fixture cap.
+
+    The count() action here is deliberate: it costs one tiny job on a
+    bounded fixture slice, and it turns a silent m² blow-up on an
+    unbounded corpus into a loud error pointing at the banded path.
+    """
+    n = df.count()
+    if n > ALL_PAIRS_FIXTURE_CAP:
+        raise ValueError(
+            f"{what}: all-pairs pair generation is fixture-only "
+            f"({n} rows > cap {ALL_PAIRS_FIXTURE_CAP}); use the banded "
+            "scale path (operators.dedup.lsh_candidate_pairs / "
+            "simhash_band_pairs) for real corpora"
+        )
+
 def _word_list_html() -> F.Column:
     """<div id='r'><ul><li class='w'>word</li>…</ul></div>"""
     words = F.split(F.col("text"), " ")
@@ -261,8 +284,12 @@ def q_simhash(spark, sf_dir):
     return simhash64(d, bits=SIMHASH_BITS)
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
+    """FIXTURE-ONLY exact-verification twin of lsh_candidate_pairs:
+    all-pairs n-gram Jaccard over a 60-doc slice.  Never call with an
+    unbounded corpus — guarded by _assert_all_pairs_fixture."""
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 60)
     ids = d.select(F.col("doc_id").alias("id"))
+    _assert_all_pairs_fixture(ids, "ngram_jaccard_pairs")
     pairs = (
         ids.alias("a").join(ids.alias("b"), F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -366,10 +393,16 @@ def q_exact_dedup_rows(spark, sf_dir):
 
 def q_simhash_hamming_pairs(spark, sf_dir):
     """SimHash near-dup verification: doc pairs within hamming
-    distance 12 of each other's 60-bit fingerprints."""
+    distance 12 of each other's 60-bit fingerprints.
+
+    FIXTURE-ONLY exact-verification twin of simhash_banded_pairs:
+    the all-pairs self-join is guarded; never call with an unbounded
+    corpus — the banded equi-join is the scale path."""
     from html_parser_spark.operators.dedup import hamming64
 
-    sigs = simhash64(_docs(spark, sf_dir).where(F.col("doc_id") < 100), bits=SIMHASH_BITS)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    _assert_all_pairs_fixture(docs, "simhash_hamming_pairs")  # 1 row/doc out
+    sigs = simhash64(docs, bits=SIMHASH_BITS)
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))

@@ -44,3 +44,12 @@ def test_oracle_sql_parses(name):
     sql = entry.oracle_sql()[name]
     con.sql(sql)  # prepare/bind only — runs on empty views
     con.close()
+
+
+def test_all_pairs_fixture_guard_trips(spark):
+    """The O(n²) fixture twins refuse unbounded inputs (VERDICT r4 §wrong)."""
+    big = spark.range(entry.ALL_PAIRS_FIXTURE_CAP + 1)
+    with pytest.raises(ValueError, match="fixture-only"):
+        entry._assert_all_pairs_fixture(big, "test")
+    # at the cap it passes silently
+    entry._assert_all_pairs_fixture(spark.range(entry.ALL_PAIRS_FIXTURE_CAP), "test")
