@@ -175,6 +175,10 @@ def _decode_markers(payload: bytes):
             raise ValueError("truncated JPEG before SOS")
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of optional 0xFF fill bytes may precede
+        # a marker; skip them so 0xFF is never misread as the marker byte.
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:

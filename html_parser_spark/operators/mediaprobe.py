@@ -64,7 +64,10 @@ def _id3v2_size(payload: bytes) -> int:
     b = payload[6:10]
     if any(x & 0x80 for x in b):
         raise ValueError("ID3v2 size bytes must be syncsafe")
-    return 10 + ((b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3])
+    # flags bit 0x10 = ID3v2.4 footer: 10 extra bytes NOT counted in the
+    # syncsafe size field (ID3v2.4 §3.1).
+    footer = 10 if payload[5] & 0x10 else 0
+    return 10 + footer + ((b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3])
 
 
 def probe_mp3(payload: bytes) -> dict:
@@ -80,6 +83,7 @@ def probe_mp3(payload: bytes) -> dict:
     samples_num = 0        # duration = samples_num / samplerate (single rate enforced)
     rate0 = None
     bitrates = set()
+    bitrate_sum = 0        # per-frame sum → frame-weighted VBR average
     channels = None
     layer_out = None
     version_out = None
@@ -122,6 +126,7 @@ def probe_mp3(payload: bytes) -> dict:
         elif samplerate != rate0:
             raise ValueError("sample-rate change mid-stream")
         bitrates.add(bitrate)
+        bitrate_sum += bitrate
         samples_num += samples
         n_frames += 1
         pos += frame_len
@@ -133,8 +138,10 @@ def probe_mp3(payload: bytes) -> dict:
         "duration_ms": samples_num * 1000 // rate0,
         "sample_rate": rate0,
         "channels": channels,
+        # VBR: frame-weighted average (per-frame sum / n_frames), not the
+        # mean of the distinct values seen (ADVICE r4).
         "bit_rate_kbps": (next(iter(bitrates)) // 1000 if len(bitrates) == 1
-                          else sum(bitrates) // len(bitrates) // 1000),
+                          else bitrate_sum // n_frames // 1000),
         "is_cbr": len(bitrates) == 1,
         "width": None,
         "height": None,

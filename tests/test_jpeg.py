@@ -382,3 +382,33 @@ def test_fuzz_mutations_never_hang_or_leak():
             continue
         assert 0 < w <= 65535 and 0 < h <= 65535
         assert len(pix) in (w * h, 3 * w * h)
+
+
+def test_fill_bytes_before_markers_skipped():
+    """T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker.
+    Insert fill runs before segment markers and EOI; the decode must be
+    byte-identical to the unpadded stream (ADVICE r4)."""
+    levels = [0, 10, -20, 31]
+    plain = synth_jpeg_gray(levels, 2, 2)
+    w, h, pix = decode_jpeg(plain)
+
+    # re-split the stream at every marker and inject fill bytes
+    out = bytearray(plain[:2])  # SOI
+    pos = 2
+    n = len(plain)
+    while pos < n:
+        assert plain[pos] == 0xFF
+        marker = plain[pos + 1]
+        out += b"\xff" * 3 + plain[pos:pos + 2]  # fill run + marker
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", plain, pos)
+        out += plain[pos:pos + seglen]
+        pos += seglen
+        if marker == 0xDA:  # entropy-coded body up to EOI
+            eoi = plain.index(b"\xff\xd9", pos)
+            out += plain[pos:eoi]
+            pos = eoi
+    w2, h2, pix2 = decode_jpeg(bytes(out))
+    assert (w, h, pix) == (w2, h2, pix2)

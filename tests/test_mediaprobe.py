@@ -61,10 +61,27 @@ class TestMp3:
         b5, b9 = _BITRATE_V1[3][5] * 1000, _BITRATE_V1[3][9] * 1000
         assert meta["bit_rate_kbps"] == (b5 + b9) // 2 // 1000
 
+    def test_vbr_average_is_frame_weighted(self):
+        """100 frames at br_idx=14 (320k) + 1 at br_idx=1 (32k) must report
+        the frame-weighted mean (~317), not the mean of distinct values
+        (176) — ADVICE r4."""
+        meta = probe_mp3(_mp3_frame(br_idx=14) * 100 + _mp3_frame(br_idx=1))
+        assert meta["is_cbr"] is False
+        b_hi, b_lo = _BITRATE_V1[3][14] * 1000, _BITRATE_V1[3][1] * 1000
+        assert meta["bit_rate_kbps"] == (100 * b_hi + b_lo) // 101 // 1000
+        assert meta["bit_rate_kbps"] > 300  # not the distinct-mean 176
+
     def test_id3v2_and_id3v1_skipped(self):
         frame = _mp3_frame()
         id3v2 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 20]) + bytes(20)
         assert probe_mp3(id3v2 + frame + b"TAG" + bytes(125))["n_units"] == 1
+
+    def test_id3v24_footer_flag_skips_10_extra_bytes(self):
+        """ID3v2.4 flags bit 0x10 appends a 10-byte footer not counted in
+        the syncsafe size — the sync check must land on the frame."""
+        frame = _mp3_frame()
+        tag = b"ID3\x04\x00\x10" + bytes([0, 0, 0, 20]) + bytes(20) + b"3DI" + bytes(7)
+        assert probe_mp3(tag + frame)["n_units"] == 1
 
     def test_non_syncsafe_id3_size_rejected(self):
         with pytest.raises(ValueError, match="syncsafe"):
