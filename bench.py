@@ -200,6 +200,72 @@ def extraction_throughput(spark, input_dir: str, n_turns: int, timed_runs: int =
     }
 
 
+def kernel_mb_per_core(spark, sf_dir: str, n_pages: int = 400, repeats: int = 3) -> dict:
+    """Single-core parse+extract MB/s of the pure-Python kernel — the
+    SURVEY §7 exit-criterion figure (the tokenizer bar was ≥10 MB/s per
+    core) and the honest per-core comparison against the reference's
+    published single-core Zig parse throughput (BASELINE.md: 1233 MB/s
+    avg).  A bounded page sample is collected once; the timed region is
+    a driver-side single-thread loop over ``extract_main`` (parse +
+    selector removal + link-density + text emission — strictly MORE
+    work per byte than the reference's parse-only number), so the MB/s
+    is per-core by construction.  The distributed job multiplies this
+    by busy cores; the map-only plan keeps that multiplication linear
+    (see scaling evidence)."""
+    from html_parser_spark.kernel.extract import extract_main
+    from html_parser_spark.sources.transcripts import transcripts_from_documents
+
+    import random
+
+    def one_rate(pages, repeats):
+        total_bytes = sum(len(p.encode("utf-8")) for p in pages)
+        for p in pages[:10]:  # warm: adaptive-interpreter specialization
+            extract_main(p)
+        walls = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for p in pages:
+                extract_main(p)
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)
+        mbps = total_bytes / 1e6 / wall
+        return {
+            "pages": len(pages),
+            "input_mb": round(total_bytes / 1e6, 3),
+            "wall_sec": round(wall, 3),
+            "mb_per_sec_per_core": round(mbps, 2),
+            "meets_survey_bar": mbps >= 10.0,
+            "ratio_vs_reference": round(mbps / 1233.0, 4),
+        }
+
+    # Block 1: the suite's actual fixture pages (~0.7 KB each) — the
+    # number behind the suite's turns/s; per-page fixed cost (DOM
+    # alloc, selector setup) dominates at this size.
+    fixture_pages = [r[0] for r in
+                     transcripts_from_documents(spark, sf_dir, n_convs=N_CONVS)
+                     .select("text").limit(n_pages).collect()]
+    # Block 2: realistic web-page sizes (~60 KB: nav + article + footer,
+    # deterministic content) — the size class the SURVEY §7 bar and the
+    # reference's own bench corpus describe; fixed cost amortized.
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "content", "paragraph",
+             "navigation", "article", "density", "heuristic"]
+    paras = "".join(
+        "<p>" + " ".join(rng.choice(words) for _ in range(40)) + "</p>"
+        for _ in range(200))
+    nav = ("<nav><ul>" + "".join(f"<li><a href='/x{i}'>link {i}</a></li>"
+                                 for i in range(20)) + "</ul></nav>")
+    web_page = (f"<html><head><title>t</title></head><body>{nav}"
+                f"<main><article>{paras}</article></main>"
+                f"<footer><a href='/'>home</a></footer></body></html>")
+    return {
+        "survey_s7_bar_mb_per_sec": 10.0,
+        "reference_single_core_mb_per_sec": 1233.0,
+        "fixture_pages": one_rate(fixture_pages, repeats),
+        "web_page_60kb": one_rate([web_page] * 32, repeats),
+    }
+
+
 QUERY_PICKS = [
     "extract_main_text", "html_count_li", "html_node_count",
     "tpch_pricing_summary", "join_region_revenue", "events_hourly",
@@ -404,6 +470,12 @@ def compact_summary(result: dict) -> str:
             max(v[0] for v in result["loadavg"].values()), 1),
         "detail": "BENCH_LOCAL.json",
     }
+    kr = result.get("kernel_mb_per_core")
+    if kr:
+        comp["kernel_mb_s_core"] = {
+            "fixture": kr["fixture_pages"]["mb_per_sec_per_core"],
+            "web60kb": kr["web_page_60kb"]["mb_per_sec_per_core"],
+        }
     gate = result.get("gate")
     if gate:
         comp["gate"] = {"ratio": gate["ratio"], "status": gate["status"],
@@ -476,6 +548,8 @@ def main() -> None:
         suite_wall = round(time.time() - t_suite0, 3)
         load_probes["after_suite"] = list(os.getloadavg())
 
+        kernel_rate = kernel_mb_per_core(spark, SF_DIR)
+
         scale_dir = os.path.join(tmp, "scale")
         n_scale = 0
         if SCALING:
@@ -494,6 +568,7 @@ def main() -> None:
             "suite_wall_sec": suite_wall,
             "turns_per_sec": ex["turns_per_sec"],
             "extract": ex,
+            "kernel_mb_per_core": kernel_rate,
             "query_block_walls": repeat_walls,
             "cores": CPUS,
             "loadavg": load_probes,
