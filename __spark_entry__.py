@@ -799,10 +799,17 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     histogram is closed-form SQL.  The pipeline runs the actual
     Huffman + dequant + IDCT decoder (use_real_codec=True); the oracle
     recomputes each block's level and bins it (levels span 96..159 =
-    histogram bins 6..9) without ever parsing JPEG."""
+    histogram bins 6..9) without ever parsing JPEG.
+
+    Every 4th asset is instead a MULTI-SCAN non-interleaved color file
+    (SOF0 with three single-component scans, T.81 A.2.2; round-4
+    verdict item 5) with neutral chroma: R = G = B = Y exactly, so the
+    normalized byte histogram — and hence the oracle — is unchanged
+    while the separate-scan decode path runs under the value gate."""
     import hashlib
 
-    from html_parser_spark.operators.jpeg import synth_jpeg_gray
+    from html_parser_spark.operators.jpeg import (
+        synth_jpeg_color_multiscan, synth_jpeg_gray)
     from html_parser_spark.operators.multimodal import ASSET_SCHEMA, extract_features
 
     rows = []
@@ -811,7 +818,8 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
         digest = hashlib.md5(str(i).encode()).hexdigest()
         levels = [int(digest[2 * j:2 * j + 2], 16) % 64 - 32
                   for j in range(bw_ * bh_)]
-        rows.append((i, "image", bytearray(synth_jpeg_gray(levels, bw_, bh_)),
+        synth = synth_jpeg_color_multiscan if i % 4 == 3 else synth_jpeg_gray
+        rows.append((i, "image", bytearray(synth(levels, bw_, bh_)),
                      {"src": f"synth://jpeg/{i}"}))
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)
     feats = extract_features(assets, use_real_codec=True)

@@ -170,6 +170,7 @@ def _decode_markers(payload: bytes):
     frame = None       # (w, h, [(comp_id, hi, vi, tq)])
     progressive = False
     store = None       # progressive only: per-comp (nby, nbx, 64) int32
+    base_planes = None  # multi-scan baseline: comp idx -> pixel plane
     while True:
         if pos + 2 > n:
             raise ValueError("truncated JPEG before SOS")
@@ -187,6 +188,18 @@ def _decode_markers(payload: bytes):
             if store is not None:
                 # progressive: all scans accumulated — render now
                 return _render_progressive(frame, store, qt)
+            if base_planes is not None:
+                # multi-scan baseline: every component must have arrived
+                w, h, comps = frame
+                missing = [c[0] for fi, c in enumerate(comps)
+                           if fi not in base_planes]
+                if missing:
+                    raise ValueError(
+                        f"JPEG EOI with undecoded components {missing}")
+                hmax, vmax, _mx, _my = _geometry(frame)
+                planes = [base_planes[fi] for fi in range(len(comps))]
+                samps = [(hi, vi) for _cid, hi, vi, _tq in comps]
+                return _finish_planes(planes, samps, hmax, vmax, w, h)
             raise ValueError("JPEG EOI before SOS")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2:pos + seglen]
@@ -256,8 +269,41 @@ def _decode_markers(payload: bytes):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan.append((cs, tt >> 4, tt & 0xF))
             if not progressive:
-                return _decode_scan(payload, body_at, frame, scan, qt,
-                                    huff_dc, huff_ac, restart_interval)
+                if len(scan) == len(frame[2]):
+                    if base_planes is not None:
+                        raise ValueError(
+                            "interleaved JPEG scan after partial scans")
+                    return _decode_scan(payload, body_at, frame, scan, qt,
+                                        huff_dc, huff_ac, restart_interval)
+                # multi-scan baseline (T.81 SOF0 with separate scans):
+                # common non-interleaved shape is one component per scan
+                if len(scan) != 1:
+                    raise NotImplementedError(
+                        "baseline JPEG scan covering a strict subset of "
+                        ">1 components")
+                cs, dt, at = scan[0]
+                comps = frame[2]
+                fidx = {cid: fi for fi, (cid, _hi, _vi, _tq) in
+                        enumerate(comps)}
+                if cs not in fidx:
+                    raise ValueError("JPEG scan/frame component mismatch")
+                fi = fidx[cs]
+                if base_planes is None:
+                    base_planes = {}
+                if fi in base_planes:
+                    raise ValueError("JPEG component scanned twice")
+                tq = comps[fi][3]
+                if tq not in qt:
+                    raise ValueError(
+                        "JPEG component references missing quant table")
+                if dt not in huff_dc or at not in huff_ac:
+                    raise ValueError(
+                        "JPEG scan references missing Huffman table")
+                plane, pos = _decode_single_comp_scan(
+                    payload, body_at, frame, fi, qt[tq], huff_dc[dt],
+                    huff_ac[at], restart_interval)
+                base_planes[fi] = plane
+                continue
             aa = seg[3 + 2 * ns]
             band = (seg[1 + 2 * ns], seg[2 + 2 * ns], aa >> 4, aa & 0xF)
             if store is None:
@@ -266,6 +312,60 @@ def _decode_markers(payload: bytes):
                                     huff_dc, huff_ac, restart_interval,
                                     store)
         # else: APPn / COM / others — skipped via seglen
+
+
+def _baseline_block(br, quant, hdc, hac, pred, coeffs):
+    """Decode one baseline data unit into ``coeffs`` (zigzag order,
+    dequantized); returns the updated DC predictor."""
+    coeffs[:] = 0.0
+    s = hdc.decode(br)
+    if s > 11:
+        raise ValueError("invalid JPEG DC category")
+    diff = _extend(br.bits(s), s) if s else 0
+    pred += diff
+    coeffs[0] = pred * quant[0]
+    k = 1
+    while k < 64:
+        rs = hac.decode(br)
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r == 15:   # ZRL: 16 zeros
+                k += 16
+                continue
+            break         # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflow")
+        coeffs[k] = _extend(br.bits(size), size) * quant[k]
+        k += 1
+    return pred
+
+
+def _decode_single_comp_scan(payload, pos, frame, ci, quant, hdc, hac,
+                             restart_interval):
+    """One NON-interleaved baseline scan (T.81 A.2.2): the MCU is a
+    single data unit and the block grid is ceil(component samples / 8)
+    per axis — the multi-scan SOF0 shape (one scan per component) real
+    web encoders emit for separate-plane baseline files.  Returns the
+    component-resolution pixel plane and the next marker position."""
+    nbx, nby = _comp_blocks(frame, ci)
+    plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+    br = _BitReader(payload, pos)
+    pred = 0
+    coeffs = np.zeros(64, dtype=np.float64)
+    n = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and n and n % restart_interval == 0:
+                br.align_to_restart()
+                pred = 0
+            n += 1
+            pred = _baseline_block(br, quant, hdc, hac, pred, coeffs)
+            block = np.zeros((8, 8), dtype=np.float64)
+            block.flat[ZIGZAG] = coeffs
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                _idct_block(block) + 128.0
+    return plane, _next_marker(payload, br.pos)
 
 
 def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
@@ -314,27 +414,8 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                 hi, vi, quant, hdc, hac = meta[ci]
                 for by in range(vi):
                     for bx in range(hi):
-                        coeffs[:] = 0.0
-                        s = hdc.decode(br)
-                        if s > 11:
-                            raise ValueError("invalid JPEG DC category")
-                        diff = _extend(br.bits(s), s) if s else 0
-                        preds[ci] += diff
-                        coeffs[0] = preds[ci] * quant[0]
-                        k = 1
-                        while k < 64:
-                            rs = hac.decode(br)
-                            r, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if r == 15:   # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break         # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            coeffs[k] = _extend(br.bits(size), size) * quant[k]
-                            k += 1
+                        preds[ci] = _baseline_block(
+                            br, quant, hdc, hac, preds[ci], coeffs)
                         block = np.zeros((8, 8), dtype=np.float64)
                         block.flat[ZIGZAG] = coeffs
                         px = _idct_block(block) + 128.0
@@ -822,3 +903,34 @@ def synth_jpeg_color(levels, blocks_w: int, blocks_h: int,
             put_block(3, 0)
     return (b"\xff\xd8" + _dqt_unit() + _dht_synth() + sof + sos
             + bw.flush() + b"\xff\xd9")
+
+
+def synth_jpeg_color_multiscan(levels, blocks_w: int, blocks_h: int,
+                               subsample_420: bool = False) -> bytes:
+    """Same DC-only color image as :func:`synth_jpeg_color`, but written
+    as THREE single-component baseline scans (multi-scan non-interleaved
+    SOF0, T.81 A.2.2): each scan rasters its own component's block grid
+    with a fresh DC predictor and byte-aligned entropy data.  Decodes to
+    the exact same pixels as the interleaved encoding."""
+    if subsample_420:
+        assert blocks_w % 2 == 0 and blocks_h % 2 == 0
+    w, h = 8 * blocks_w, 8 * blocks_h
+    samp_y = 0x22 if subsample_420 else 0x11
+    sof = _segment(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                   + bytes([1, samp_y, 0]) + bytes([2, 0x11, 0])
+                   + bytes([3, 0x11, 0]))
+    out = b"\xff\xd8" + _dqt_unit() + _dht_synth() + sof
+    chroma = ((blocks_w // 2, blocks_h // 2) if subsample_420
+              else (blocks_w, blocks_h))
+    grids = {1: (blocks_w, blocks_h), 2: chroma, 3: chroma}
+    for cid in (1, 2, 3):
+        nbx, nby = grids[cid]
+        bw = _BitWriter()
+        pred = 0
+        for j in range(nbx * nby):
+            dc = 8 * int(levels[j]) if cid == 1 else 0
+            _dc_code(bw, dc - pred)
+            pred = dc
+            bw.write(0, 1)  # EOB
+        out += _segment(0xDA, bytes([1, cid, 0x00, 0, 63, 0])) + bw.flush()
+    return out + b"\xff\xd9"

@@ -412,3 +412,51 @@ def test_fill_bytes_before_markers_skipped():
             pos = eoi
     w2, h2, pix2 = decode_jpeg(bytes(out))
     assert (w, h, pix) == (w2, h2, pix2)
+
+
+def test_multiscan_noninterleaved_baseline():
+    """SOF0 with three single-component scans (T.81 A.2.2) decodes
+    byte-identically to the interleaved encoding, 4:4:4 and 4:2:0
+    (round-4 verdict item 5)."""
+    from html_parser_spark.operators.jpeg import synth_jpeg_color_multiscan
+
+    for sub, (bw, bh) in ((False, (3, 2)), (True, (4, 4))):
+        levels = [(i * 7) % 63 - 31 for i in range(bw * bh)]
+        inter = decode_jpeg(synth_jpeg_color(levels, bw, bh, subsample_420=sub))
+        multi = decode_jpeg(
+            synth_jpeg_color_multiscan(levels, bw, bh, subsample_420=sub))
+        assert inter == multi
+
+
+def test_multiscan_hostile_contracts():
+    """Fail-loud shapes around the multi-scan path: a component scanned
+    twice, EOI before all components arrived, an interleaved scan after
+    a partial one."""
+    from html_parser_spark.operators.jpeg import synth_jpeg_color_multiscan
+
+    levels = [0, 10, -20, 31, -32, 5]
+    good = synth_jpeg_color_multiscan(levels, 3, 2)
+    # locate the three scans (each SOS marker)
+    scans = []
+    p = 0
+    while True:
+        p = good.find(b"\xff\xda", p)
+        if p < 0:
+            break
+        scans.append(p)
+        p += 2
+    assert len(scans) == 3
+    # component scanned twice: replace scan 3 with a copy of scan 1
+    twice = good[:scans[2]] + good[scans[0]:scans[1]] + good[-2:]
+    with pytest.raises(ValueError, match="scanned twice"):
+        decode_jpeg(twice)
+    # EOI with a component missing: drop the third scan
+    missing = good[:scans[2]] + good[-2:]
+    with pytest.raises(ValueError, match="undecoded components"):
+        decode_jpeg(missing)
+    # interleaved scan after a partial scan
+    inter = synth_jpeg_color(levels, 3, 2)
+    sos_i = inter.find(b"\xff\xda")
+    mixed = good[:scans[1]] + inter[sos_i:]
+    with pytest.raises(ValueError, match="after partial"):
+        decode_jpeg(mixed)
