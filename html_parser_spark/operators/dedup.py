@@ -145,6 +145,7 @@ def dup_clusters(
     max_iter: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    round_log: list | None = None,
 ) -> DataFrame:
     """Connected components over candidate-pair edges → duplicate
     clusters: returns (id, cluster_id) with ``cluster_id`` = the
@@ -167,6 +168,11 @@ def dup_clusters(
     see module docstring).  ``localCheckpoint`` after every round
     truncates the lineage so the plan doesn't grow exponentially —
     required at any scale, not an optimization.
+
+    ``round_log`` (optional): a list the loop appends one entry per
+    completed round to — lets callers/monitoring observe convergence
+    (rounds taken) from a single run without re-running under a
+    max_iter bisect.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
@@ -205,6 +211,8 @@ def dup_clusters(
             .limit(1).count()
         )
         labels = new_labels
+        if round_log is not None:
+            round_log.append({"changed": bool(changed)})
         if changed == 0:
             break
     else:

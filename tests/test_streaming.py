@@ -109,6 +109,84 @@ def test_stateful_rollup_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     assert one_pass() == t.count() + 37
 
 
+def test_stateful_rollup_recovers_from_mid_corpus_crash(spark, sf_dir, tmp_path):
+    """Round-4 verdict item 8: KILL the stateful stream mid-corpus (the
+    sink throws on the third micro-batch) and restart it on the same
+    checkpoint.  Proves exactly-once keyed state across the crash:
+
+    - the crashed batch was NOT committed (offset/commit logs), so the
+      restart replays it against the pre-crash state-store version —
+      no turns are lost and none are double-counted;
+    - committed batches are NOT reprocessed (state survives);
+    - final per-conversation rollups equal the batch ground truth.
+    """
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from html_parser_spark.streaming.stateful import (
+        conversation_rollup_stream, run_rollup_to_parquet,
+    )
+
+    t = transcripts_from_documents(spark, sf_dir, n_convs=12).drop(
+        "doc_id", "expected_main_text")
+    src = str(tmp_path / "in")
+    t.repartition(6).write.mode("overwrite").parquet(src)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    # pass 1: two micro-batches commit, then the sink dies on batch 2 —
+    # an injected mid-corpus failure (same failure surface as a lost
+    # driver: the batch's offsets are logged but never committed).
+    def crashing_sink(batch_df, batch_id):
+        if batch_id == 2:
+            raise RuntimeError("injected mid-corpus crash")
+        batch_df.write.mode("append").parquet(out)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        conversation_rollup_stream(stream)
+        .writeStream.foreachBatch(crashing_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected mid-corpus crash"):
+        q.processAllAvailable()
+    q.stop()
+
+    # genuinely mid-corpus: only 2 of 6 input files reached the sink
+    partial = spark.read.parquet(out)
+    partial_turns = (
+        partial.groupBy("conv_id").agg(F.max("n_turns").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert 0 < partial_turns < t.count()
+
+    # pass 2: restart on the SAME checkpoint with the healthy sink —
+    # resumes at batch 2 with the state committed through batch 1.
+    stream2 = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    run_rollup_to_parquet(conversation_rollup_stream(stream2), out, ck)
+
+    snap = spark.read.parquet(out)
+    got = snap.groupBy("conv_id").agg(
+        F.max("n_turns").alias("n_turns"),
+        F.max("total_chars").alias("total_chars"),
+        F.max("max_turn_idx").alias("max_turn_idx"),
+    )
+    expected = t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max("turn_idx").alias("max_turn_idx"),
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # committed batches were not replayed: the restart emitted snapshots
+    # only for batches >= 2 (4 batches), so total snapshot rows stay
+    # bounded by one emission per (conv, processed batch), and every
+    # conversation's snapshot sequence is monotone in n_turns — a replay
+    # of a committed batch would duplicate an existing (conv, n_turns).
+    per_conv = snap.groupBy("conv_id", "n_turns").count()
+    assert per_conv.where(F.col("count") > 1).count() == 0
+
+
 def test_watermark_append_mode_drops_and_accounts_late_rows(spark, tmp_path):
     """Round-4 verdict item: append-mode windowed agg behind a
     watermark, native parquet file sink.  Pins three semantics the
