@@ -85,6 +85,42 @@ def test_partial_resume_processes_only_missing_buckets(spark, transcripts, tmp_p
     assert spark.read.parquet(out_dir).count() == src.count()
 
 
+def test_mid_bucket_crash_overwrites_partial_output(spark, transcripts, tmp_path):
+    """The idempotency contract's hardest case: a run crashed MID-bucket
+    — the bucket's output partition holds a partial write, but its
+    control row (the commit record) never appended.  On resume the
+    bucket is not in completed_buckets, so it re-extracts, and dynamic
+    partition overwrite must REPLACE the partial partition, not append
+    beside it — otherwise every mid-write crash duplicates rows."""
+    from html_parser_spark.plans.pipeline import extract_turns
+    from html_parser_spark.sources.catalog import write_table
+
+    out_dir, ctl_dir = str(tmp_path / "out3"), str(tmp_path / "ctl3")
+    cfg = PipelineConfig(n_buckets=4, n_salts=1)
+    src = transcripts.drop("doc_id", "expected_main_text")
+
+    # bucket 0 committed cleanly (data + control row)
+    b0 = with_bucket(src, 4).where(F.col("bucket") == 0)
+    run_extraction(spark, b0.drop("bucket"), out_dir, ctl_dir, run_id="r3", cfg=cfg)
+    assert completed_buckets(spark, ctl_dir, "r3") == {0}
+
+    # crash mid-bucket-1: half its extracted rows reach the output
+    # partition through the same writer, control row never appended
+    b1 = with_bucket(src, 4).where(F.col("bucket") == 1)
+    partial = extract_turns(b1, cfg).where(F.col("turn_idx") % 2 == 0)
+    n_partial = partial.count()
+    assert 0 < n_partial < b1.count()
+    write_table(partial.repartition(1, F.col("bucket")), out_dir)
+    assert completed_buckets(spark, ctl_dir, "r3") == {0}  # still uncommitted
+
+    m = run_extraction(spark, src, out_dir, ctl_dir, run_id="r3", cfg=cfg)
+    assert m["buckets_skipped"] == 1  # only the committed bucket 0
+    out = spark.read.parquet(out_dir)
+    assert out.count() == src.count()  # partial partition replaced, not appended
+    assert out.select("conv_id", "turn_idx").distinct().count() == src.count()
+    assert completed_buckets(spark, ctl_dir, "r3") == {0, 1, 2, 3}
+
+
 def test_skewed_conversations_are_salted(spark, sf_dir):
     t = transcripts_from_documents(spark, sf_dir, n_convs=50, skew_pct=2, skew_factor=20)
     counts = t.groupBy("conv_id").count()
