@@ -409,8 +409,16 @@ def test_dup_clusters_raises_on_nonconvergence(spark):
     pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(pairs, max_iter=2)
-    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iter=10).collect()}
+    rounds = []
+    got = {r["id"]: r["cluster_id"]
+           for r in dup_clusters(pairs, max_iter=10, round_log=rounds).collect()}
     assert set(got.values()) == {0}
+    # round_log observability: one entry per executed round, pointer
+    # jumping needs ~log2(9)+1 rounds on a diameter-8 path, and the
+    # final (convergence-confirming) round reports changed=False
+    assert 3 <= len(rounds) <= 6
+    assert rounds[-1] == {"changed": False}
+    assert all(r == {"changed": True} for r in rounds[:-1])
 
 
 def test_dup_clusters_converges_exactly_at_budget(spark):
