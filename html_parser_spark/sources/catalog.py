@@ -116,7 +116,7 @@ def read_transcripts(spark: SparkSession, src: str, fmt: str = "parquet") -> Dat
     100 TB ingest should fail loudly at the scan, not silently retype
     a column).  ``fmt``: parquet (default, also Iceberg idents via
     :func:`read_table`) | orc | json (newline-delimited) | csv (with
-    header).
+    header) | xml (Spark 4 built-in source, ``rowTag=turn``).
     """
     if fmt in ("parquet", "orc"):
         df = read_table(spark, src) if fmt == "parquet" else spark.read.orc(src)
@@ -136,4 +136,12 @@ def read_transcripts(spark: SparkSession, src: str, fmt: str = "parquet") -> Dat
                 .option("nullValue", "\\N")
                 .option("emptyValue", "")
                 .csv(src))
+    if fmt == "xml":
+        # Built-in XML source (Spark 4).  The writer XML-escapes the
+        # HTML-laden text column and the reader unescapes it, so markup
+        # round-trips exactly; empty elements come back as "" and
+        # absent elements as NULL under the enforced schema (verified
+        # in tests/test_catalog_jobs.py).
+        return (spark.read.schema(TRANSCRIPT_DDL)
+                .format("xml").option("rowTag", "turn").load(src))
     raise ValueError(f"unsupported transcript format: {fmt}")

@@ -157,17 +157,23 @@ def test_read_transcripts_all_formats_agree(spark, sf_dir, tmp_path):
     t.write.mode("overwrite").json(str(tmp_path / "j"))
     (t.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
       .write.mode("overwrite").option("header", "true").csv(str(tmp_path / "c")))
+    # XML must round-trip the HTML-laden text column exactly (the
+    # writer escapes markup, the reader unescapes it)
+    t.write.mode("overwrite").format("xml").option("rowTag", "turn").save(
+        str(tmp_path / "x"))
 
     p = read_transcripts(spark, str(tmp_path / "p"))
     o = read_transcripts(spark, str(tmp_path / "o"), fmt="orc")
     j = read_transcripts(spark, str(tmp_path / "j"), fmt="json")
     c = read_transcripts(spark, str(tmp_path / "c"), fmt="csv")
-    for df in (o, j, c):
+    x = read_transcripts(spark, str(tmp_path / "x"), fmt="xml")
+    for df in (o, j, c, x):
         assert [f.simpleString() for f in df.schema.fields] == \
                [f.simpleString() for f in p.schema.fields]
     assert p.exceptAll(o).count() == 0 and o.exceptAll(p).count() == 0
     assert p.exceptAll(j).count() == 0 and j.exceptAll(p).count() == 0
     assert p.exceptAll(c).count() == 0 and c.exceptAll(p).count() == 0
+    assert p.exceptAll(x).count() == 0 and x.exceptAll(p).count() == 0
 
     import pytest
     with pytest.raises(ValueError):
