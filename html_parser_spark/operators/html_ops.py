@@ -125,6 +125,29 @@ def attr_value_udf(selector, attr_name: str):
     return udf
 
 
+def to_markdown_udf(selector=None):
+    """Markdown rendering of the document (or of the FIRST ``selector``
+    match when one is given; null when it misses) — the structural
+    sibling of extraction: headings/lists/links/code survive as
+    Markdown instead of being flattened to plain text.  Map-only, same
+    Arrow-batch shape as every other kernel operator."""
+    from ..kernel.markdown import to_markdown
+
+    sel = _compiled(selector) if selector is not None else None
+
+    def one(h: str) -> Optional[str]:
+        dom = parse(h.encode("utf-8"))
+        if sel is None:
+            return to_markdown(dom, 0)
+        idx = query_one(dom, sel)
+        return None if idx is None else to_markdown(dom, idx)
+
+    @F.pandas_udf(StringType())
+    def udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        yield from _series_map(it, one)
+    return udf
+
+
 def extract_struct_udf(
     remove_selector: str = DEFAULT_REMOVE_SELECTOR,
     drop_whitespace_text_nodes: bool = False,

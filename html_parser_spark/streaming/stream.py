@@ -107,6 +107,24 @@ def windowed_events_agg(stream_df: DataFrame, window: str = "1 hour",
     )
 
 
+def dedup_events_stream(stream_df: DataFrame, keys=("event_id",),
+                        watermark: str = "2400 hours") -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per key.
+
+    ``dropDuplicatesWithinWatermark`` holds one state row per key and
+    expires it once the event-time watermark passes the key's event
+    time + delay — so state is O(keys inside the watermark horizon),
+    not O(all keys ever seen), which is the only shape that survives an
+    unbounded stream.  The delay must cover the maximum duplicate skew
+    (how far apart two copies of the same event can arrive): a copy
+    arriving after its twin's state expired would be re-emitted.  Gate
+    runs use a delay larger than the whole corpus span so dedup is
+    exact; production picks the real skew bound and accounts drops via
+    :func:`rows_dropped_by_watermark`."""
+    return (stream_df.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
 def run_append_to_parquet(stream_out: DataFrame, out_dir: str,
                           checkpoint_dir: str):
     """Append-mode drain into the native parquet FILE sink — the

@@ -247,6 +247,28 @@ CHECKS = {
         "partial_agg": lambda p: "HashAggregate" in p
         or "ObjectHashAggregate" in p or "SortAggregate" in p,
     },
+    # round-5 additions: markdown rendering is a map-only kernel pass;
+    # URL canonicalization must stay entirely JVM-side
+    "html_to_markdown": {
+        "no_exchange_before_kernel": lambda p: _no_exchange_before_arrow(p),
+        "arrow_eval": lambda p: "ArrowEvalPython" in p,
+        "pruned_scan": lambda p: re.search(r"ReadSchema:[^\n]*text", p),
+    },
+    "url_normalize": {
+        # zero Python nodes: parse_url/filter/array_join are all
+        # codegen'd Catalyst expressions
+        "jvm_only": lambda p: "Python" not in p,
+        "map_only": lambda p: "Exchange" not in p,
+        "codegen": lambda p: "WholeStageCodegen" in p or "Found" in p,
+    },
+    "url_domain_stats": {
+        "jvm_only": lambda p: "Python" not in p,
+        "partial_agg": lambda p: "HashAggregate" in p,
+        # countDistinct = two-phase expand/partial-agg, and the final
+        # orderBy adds a range exchange — but the host hash aggregate
+        # must still be partial on the map side (no all-to-one)
+        "no_single_partition": lambda p: "SinglePartition" not in p,
+    },
     "ann_ivf_batch_topk": {
         # the exploded (query, cell) side must broadcast — the indexed
         # corpus (the 10^9-vector side) never shuffles for the join
