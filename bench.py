@@ -275,6 +275,9 @@ QUERY_PICKS = [
     "simhash_banded_pairs", "embedding_neardup", "pdf_extract",
     "ann_ivf_batch_topk", "pii_scrub", "incremental_dedup",
     "bm25_topk",
+    # round 5: markdown rendering (kernel-bound map-only pass) and URL
+    # canonicalization (pure JVM expressions)
+    "html_to_markdown", "url_normalize",
 ]
 
 # The 3 most expensive suite queries get the headline's interleaved

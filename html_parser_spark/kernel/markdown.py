@@ -160,7 +160,13 @@ def _render_list(dom: Dom, idx: int, ordered: bool) -> str:
     return "\n".join(items)
 
 
-def _render_table(dom: Dom, idx: int) -> str:
+def table_rows(dom: Dom, idx: int) -> List[List[str]]:
+    """Structured extraction of a ``<table>`` subtree: one list per
+    ``<tr>`` (section wrappers thead/tbody/tfoot are transparent), one
+    inline-rendered, whitespace-collapsed string per ``<td>``/``<th>``.
+    Ragged rows are returned as-is (padding is the renderer's concern).
+    Shared by the Markdown pipe-table renderer and the
+    ``table_cells_udf`` relational extractor."""
     rows: List[List[str]] = []
 
     def walk(i: int) -> None:
@@ -181,6 +187,11 @@ def _render_table(dom: Dom, idx: int) -> str:
                 rows.append(cells)
 
     walk(idx)
+    return rows
+
+
+def _render_table(dom: Dom, idx: int) -> str:
+    rows = table_rows(dom, idx)
     if not rows:
         return ""
     width = max(len(r) for r in rows)

@@ -148,6 +148,41 @@ def to_markdown_udf(selector=None):
     return udf
 
 
+TABLE_CELL_TYPE = ArrayType(
+    StructType([
+        StructField("table_idx", IntegerType(), False),
+        StructField("row_idx", IntegerType(), False),
+        StructField("cell_idx", IntegerType(), False),
+        StructField("cell", StringType(), False),
+    ])
+)
+
+
+def table_cells_udf(selector: str = "table"):
+    """Structured table extraction: every cell of every ``selector``
+    match as ``(table_idx, row_idx, cell_idx, cell)`` — the relational
+    twin of the Markdown pipe-table renderer (same kernel walk, same
+    inline/whitespace semantics).  Returned as one array per document
+    so the caller explodes JVM-side; empty array when no table."""
+    from ..kernel.markdown import table_rows
+
+    sel = _compiled(selector)
+
+    def one(h: str):
+        dom = parse(h.encode("utf-8"))
+        out = []
+        for t, idx in enumerate(query_all(dom, sel)):
+            for r, row in enumerate(table_rows(dom, idx)):
+                for c, cell in enumerate(row):
+                    out.append((t, r, c, cell))
+        return out
+
+    @F.pandas_udf(TABLE_CELL_TYPE)
+    def udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        yield from _series_map(it, one)
+    return udf
+
+
 def extract_struct_udf(
     remove_selector: str = DEFAULT_REMOVE_SELECTOR,
     drop_whitespace_text_nodes: bool = False,

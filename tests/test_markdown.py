@@ -7,7 +7,7 @@ nothing.
 """
 
 from html_parser_spark.kernel.htmlparse import parse
-from html_parser_spark.kernel.markdown import to_markdown
+from html_parser_spark.kernel.markdown import table_rows, to_markdown
 
 
 def md(html, idx=0):
@@ -90,3 +90,36 @@ def test_no_metachar_escaping_documented_contract():
 def test_document_and_text_roots():
     dom = parse(b"plain  text")
     assert to_markdown(dom) == "plain text"
+
+
+def _rows(html):
+    dom = parse(html.encode())
+    # node 0 = document; the table is its first element child
+    idx = next(i for i in range(len(dom.kind)) if dom.name_lower[i] == b"table")
+    return table_rows(dom, idx)
+
+
+def test_table_rows_sections_transparent_ragged_kept():
+    rows = _rows("<table><thead><tr><th>h1</th><th>h2</th></tr></thead>"
+                 "<tbody><tr><td>a</td><td>b</td></tr>"
+                 "<tr><td>c</td></tr></tbody>"
+                 "<tfoot><tr><td>f</td></tr></tfoot></table>")
+    # thead/tbody/tfoot flatten; ragged rows are NOT padded here
+    assert rows == [["h1", "h2"], ["a", "b"], ["c"], ["f"]]
+
+
+def test_table_rows_cells_inline_rendered_and_collapsed():
+    rows = _rows("<table><tr><td> a &amp;  <b>b</b> </td>"
+                 "<td><a href='u'>t</a></td><td></td></tr></table>")
+    assert rows == [["a & **b**", "[t](u)", ""]]
+
+
+def test_table_rows_ignores_stray_non_row_children():
+    # text nodes and non-tr/td elements between rows contribute nothing
+    rows = _rows("<table>stray<caption>cap</caption>"
+                 "<tr>x<td>a</td><div>no</div></tr></table>")
+    assert rows == [["a"]]
+
+
+def test_table_rows_empty_table():
+    assert _rows("<table></table>") == []

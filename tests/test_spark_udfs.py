@@ -130,3 +130,21 @@ def test_sql_registered_functions(spark):
     assert by_c[2]["n"] == 6 and by_c[2]["t"] == "x" and by_c[2]["href"] is None
     assert by_c[1]["t"] == "Docs" and by_c[1]["href"] == "/d"
     assert any(r["n"] is None for r in rows)  # null html propagates
+
+
+def test_table_cells_udf_matches_kernel(spark):
+    """Structured table extraction: array-of-struct per doc, preorder
+    table order, section wrappers flattened, inline markup rendered;
+    no-table docs yield an empty array and null html propagates."""
+    html = ("<table><thead><tr><th>h</th></tr></thead>"
+            "<tbody><tr><td>a</td><td><b>b</b></td></tr></tbody></table>"
+            "<p>x</p><table><tr><td>z &amp; w</td></tr></table>")
+    df = spark.createDataFrame(
+        [(0, html), (1, "<p>no table</p>"), (2, None)], ["i", "html"])
+    out = (df.select("i", html_ops.table_cells_udf()(F.col("html")).alias("cells"))
+             .orderBy("i").collect())
+    assert [tuple(c) for c in out[0]["cells"]] == [
+        (0, 0, 0, "h"), (0, 1, 0, "a"), (0, 1, 1, "**b**"),
+        (1, 0, 0, "z & w")]
+    assert list(out[1]["cells"]) == []
+    assert out[2]["cells"] is None

@@ -254,6 +254,15 @@ CHECKS = {
         "arrow_eval": lambda p: "ArrowEvalPython" in p,
         "pruned_scan": lambda p: re.search(r"ReadSchema:[^\n]*text", p),
     },
+    # structured table extraction: kernel runs once per doc (array
+    # return), the cell fan-out is a JVM-side explode (Generate), and
+    # the whole query is map-only — no shuffle anywhere
+    "html_table_cells": {
+        "no_exchange_before_kernel": lambda p: _no_exchange_before_arrow(p),
+        "map_only": lambda p: "Exchange" not in p,
+        "arrow_eval": lambda p: "ArrowEvalPython" in p,
+        "jvm_explode": lambda p: "Generate" in p,
+    },
     "url_normalize": {
         # zero Python nodes: parse_url/filter/array_join are all
         # codegen'd Catalyst expressions
