@@ -275,9 +275,12 @@ QUERY_PICKS = [
     "simhash_banded_pairs", "embedding_neardup", "pdf_extract",
     "ann_ivf_batch_topk", "pii_scrub", "incremental_dedup",
     "bm25_topk",
-    # round 5: markdown rendering (kernel-bound map-only pass) and URL
-    # canonicalization (pure JVM expressions)
-    "html_to_markdown", "url_normalize",
+    # round 5: markdown rendering (kernel-bound map-only pass), URL
+    # canonicalization (pure JVM expressions), link-graph resolution
+    # (one Arrow pass + Catalyst RFC 3986), and site-level boilerplate
+    # removal (the two-shuffle corpus-frequency pipeline)
+    "html_to_markdown", "url_normalize", "link_resolve",
+    "boilerplate_removal",
 ]
 
 # The 3 most expensive suite queries get the headline's interleaved

@@ -183,6 +183,49 @@ def table_cells_udf(selector: str = "table"):
     return udf
 
 
+def fields_udf(fields):
+    """Multi-field record extraction ("wrapper extraction"): a dict of
+    ``name -> selector`` (innerText of the FIRST match) or
+    ``name -> (selector, attr)`` (decoded attribute of the first
+    match) evaluated with ONE parse per document, returned as a struct
+    column — k fields cost one DOM, not k (``inner_text_udf`` /
+    ``attr_value_udf`` chained would parse k times).  Missing
+    selector/attribute → null field.  The queryOne → innerText /
+    getAttributeValue composition over the kernel, batched per Arrow
+    block like every other operator."""
+    compiled = []
+    for name, spec in fields.items():
+        if isinstance(spec, str):
+            sel, attr = spec, None
+        else:
+            sel, attr = spec
+        compiled.append((name, _compiled(sel), attr))
+    names = [n for n, _, _ in compiled]
+    schema = StructType([StructField(n, StringType(), True) for n in names])
+
+    def one(h: str):
+        dom = parse(h.encode("utf-8"))
+        out = {}
+        for name, sel, attr in compiled:
+            idx = query_one(dom, sel)
+            if idx is None:
+                out[name] = None
+            elif attr is None:
+                out[name] = inner_text(dom, idx, True).decode("utf-8", "replace")
+            else:
+                v = get_attr(dom, idx, attr)
+                out[name] = None if v is None else v.decode("utf-8", "replace")
+        return out
+
+    @F.pandas_udf(schema)
+    def udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        empty = {n: None for n in names}
+        for s in it:
+            yield pd.DataFrame(
+                [empty if v is None else one(v) for v in s], columns=names)
+    return udf
+
+
 def extract_struct_udf(
     remove_selector: str = DEFAULT_REMOVE_SELECTOR,
     drop_whitespace_text_nodes: bool = False,

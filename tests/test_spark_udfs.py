@@ -148,3 +148,32 @@ def test_table_cells_udf_matches_kernel(spark):
         (1, 0, 0, "z & w")]
     assert list(out[1]["cells"]) == []
     assert out[2]["cells"] is None
+
+
+def test_fields_udf_one_parse_multi_field(spark):
+    """Wrapper extraction: innerText fields, attr fields, missing
+    selector/attr -> null, null html -> all-null struct."""
+    from html_parser_spark.operators.html_ops import fields_udf
+
+    html = ("<article><h1> Title  here </h1>"
+            "<span class='by'>Ann</span>"
+            "<a id='perma' href='/p/7'>link</a>"
+            "<time datetime='2024-01-02'>Jan 2</time></article>")
+    df = spark.createDataFrame([(0, html), (1, "<p>bare</p>"), (2, None)],
+                               ["i", "html"])
+    ex = fields_udf({
+        "title": "h1",
+        "author": "span.by",
+        "url": ("a#perma", "href"),
+        "published": ("time", "datetime"),
+        "missing_sel": "h2",
+        "missing_attr": ("h1", "data-x"),
+    })
+    out = df.select("i", ex(F.col("html")).alias("r")).orderBy("i").collect()
+    r0 = out[0]["r"]
+    assert (r0["title"], r0["author"], r0["url"], r0["published"]) == (
+        "Title here", "Ann", "/p/7", "2024-01-02")
+    assert r0["missing_sel"] is None and r0["missing_attr"] is None
+    r1 = out[1]["r"]
+    assert r1["title"] is None and r1["url"] is None
+    assert all(v is None for v in out[2]["r"].asDict().values())

@@ -101,3 +101,147 @@ def test_url_dedup_shape(spark):
             .groupBy("url_norm").agg(F.min("id").alias("keep_id")))
     assert sorted((r.url_norm, r.keep_id) for r in kept.collect()) == [
         ("https://a.com/p", 1), ("https://a.com/q", 3)]
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 reference resolution (resolve_url)
+# ---------------------------------------------------------------------------
+
+_BASES = [
+    "http://h/a/b/c",
+    "http://h/a/b/c?q=2",
+    "http://h/a/b/",
+    "http://h/",
+    "http://h",
+    "https://H.ex.com:8080/a/b/page.html?x=1",
+]
+
+_REFS = [
+    "", "#f", "?y=3", "d", "d/e", "./d", "../d", "../../d", "../../../d",
+    "/d", "/d/../e", "/..", "//other/p", "https://abs.example/x#f",
+    "mailto:someone@example.com", "d/./e/../f", "..", ".",
+    "d?y=4#z", "d/", "../",
+]
+
+
+def test_resolve_url_matches_urljoin_matrix(spark):
+    """Pin the resolver against the stdlib's RFC 3986 implementation
+    (fragments stripped on both sides — frontier contract).  120+
+    (base, ref) combinations covering merge, dot-segment removal,
+    root clamping, scheme/authority/query inheritance and
+    non-hierarchical pass-through."""
+    from urllib.parse import urljoin
+
+    from html_parser_spark.operators.urls import resolve_url
+
+    cases = [(b, r) for b in _BASES for r in _REFS]
+    df = spark.createDataFrame(cases, ["base", "ref"])
+    got = [r[0] for r in
+           df.select(resolve_url(F.col("base"), F.col("ref"))).collect()]
+    for (b, r), g in zip(cases, got):
+        want = urljoin(b, r).split("#")[0]
+        assert g == want, f"resolve({b!r}, {r!r}) = {g!r}, urljoin says {want!r}"
+
+
+def test_resolve_url_keeps_empty_segments_rfc_not_cpython(spark):
+    """RFC 3986 §5.2.4 removes only '.'/'..' — '//' inside a path
+    survives (WHATWG agrees).  CPython's urljoin collapses interior
+    empty segments of RELATIVE refs ('d//e' → 'd/e'), a documented
+    stdlib quirk we do NOT follow; for absolute-path refs urljoin
+    itself keeps them, and we match."""
+    from html_parser_spark.operators.urls import resolve_url
+
+    df = spark.createDataFrame(
+        [("http://h/a/b/c", "d//e"), ("http://h/a/b/c", "/d//e")],
+        ["base", "ref"])
+    got = [r[0] for r in
+           df.select(resolve_url(F.col("base"), F.col("ref"))).collect()]
+    assert got == ["http://h/a/b/d//e", "http://h/d//e"]
+
+
+def test_resolve_url_cleans_network_path_refs(spark):
+    """RFC 3986 §5.2.2: a ref WITH an authority (network-path '//h/p'
+    or full scheme) still gets remove_dot_segments on its path.
+    CPython's urljoin skips removal outside the relative-merge branch
+    — second documented stdlib divergence; we follow the RFC."""
+    from html_parser_spark.operators.urls import resolve_url
+
+    df = spark.createDataFrame(
+        [("http://h/x", "//h2/a/./b/../c"),
+         ("http://h/x", "https://abs.example/a/../b")],
+        ["base", "ref"])
+    got = [r[0] for r in
+           df.select(resolve_url(F.col("base"), F.col("ref"))).collect()]
+    assert got == ["http://h2/a/c", "https://abs.example/b"]
+
+
+def test_resolve_url_plan_stays_jvm_side(spark):
+    from html_parser_spark.operators.urls import resolve_url
+
+    df = spark.createDataFrame([("http://h/a/", "../x")], ["base", "ref"])
+    plan = (df.select(resolve_url(F.col("base"), F.col("ref")))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
+
+
+def test_resolve_url_null_propagates(spark):
+    from html_parser_spark.operators.urls import resolve_url
+
+    df = spark.createDataFrame(
+        [(None, "x"), ("http://h/", None)], ["base", "ref"])
+    got = [r[0] for r in
+           df.select(resolve_url(F.col("base"), F.col("ref"))).collect()]
+    assert got == [None, None]
+
+
+def test_resolve_url_randomized_matrix_vs_urljoin(spark):
+    """400 seeded pseudo-random (base, ref) pairs — one Spark job —
+    against urllib.parse.urljoin.  Refs avoid interior empty segments
+    in relative paths (the single documented CPython-vs-RFC
+    divergence, pinned separately above)."""
+    import random
+    from urllib.parse import urljoin
+
+    from html_parser_spark.operators.urls import resolve_url
+
+    rng = random.Random(20260818)
+    seg_pool = ["a", "bb", "ccc", ".", "..", "idx.html"]
+
+    def rand_path(absolute, max_segs=4):
+        segs = [rng.choice(seg_pool) for _ in range(rng.randint(1, max_segs))]
+        p = "/".join(segs)
+        if absolute:
+            p = "/" + p
+        if rng.random() < 0.3:
+            p += "/"
+        return p
+
+    cases = []
+    for _ in range(400):
+        bq = "?b=1" if rng.random() < 0.4 else ""
+        base = "http://host" + rand_path(True) + bq
+        kind = rng.randrange(5)
+        if kind == 0:
+            ref = rand_path(False)
+        elif kind == 1:
+            ref = rand_path(True)
+        elif kind == 2:
+            ref = rand_path(False) + "?q=" + str(rng.randrange(9))
+        elif kind == 3:
+            # network-path refs get dot-free paths: CPython skips
+            # §5.2.2's remove_dot_segments for them, we follow the RFC
+            # (pinned in test_resolve_url_cleans_network_path_refs)
+            ref = "//h2/" + "/".join(
+                rng.choice(["a", "bb", "ccc"])
+                for _ in range(rng.randint(1, 3)))
+        else:
+            ref = rng.choice(["", "?z=9", "#frag", "."])
+        cases.append((base, ref))
+
+    df = spark.createDataFrame(cases, ["base", "ref"])
+    got = [r[0] for r in
+           df.select(resolve_url(F.col("base"), F.col("ref"))).collect()]
+    bad = [(b, r, g, urljoin(b, r).split("#")[0])
+           for (b, r), g in zip(cases, got)
+           if g != urljoin(b, r).split("#")[0]]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[0]}"

@@ -270,6 +270,38 @@ CHECKS = {
         "map_only": lambda p: "Exchange" not in p,
         "codegen": lambda p: "WholeStageCodegen" in p or "Found" in p,
     },
+    # wrapper extraction: k fields from one parse — a single Arrow
+    # struct pass, no shuffle
+    "html_field_extract": {
+        "no_exchange_before_kernel": lambda p: _no_exchange_before_arrow(p),
+        "map_only": lambda p: "Exchange" not in p,
+        "arrow_eval": lambda p: "ArrowEvalPython" in p
+        and "BatchEvalPython" not in p,
+    },
+    # corpus-frequency boilerplate: one Arrow block pass; the
+    # (host, fp) doc-frequency aggregate must be two-phase (partial
+    # map-side), never a single-partition collapse; no cartesian shape
+    "boilerplate_removal": {
+        "arrow_eval": lambda p: "ArrowEvalPython" in p
+        and "BatchEvalPython" not in p,
+        "partial_agg": lambda p: "HashAggregate" in p
+        or "ObjectHashAggregate" in p,
+        "no_single_partition": lambda p: "SinglePartition" not in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    },
+    # link-graph frontier: ONE Arrow kernel pass (href mining); RFC 3986
+    # resolution + canonicalization stay Catalyst; fan-out is a JVM
+    # posexplode; never a shuffle
+    "link_resolve": {
+        # count in the operator tree only (the details + codegen dumps
+        # repeat the node name)
+        "single_arrow_pass": lambda p:
+            p.split("== Physical Plan ==")[1].split("\n\n")[0]
+            .count("ArrowEvalPython") == 1 and "BatchEvalPython" not in p,
+        "map_only": lambda p: "Exchange" not in p,
+        "jvm_explode": lambda p: "Generate" in p,
+    },
     "url_domain_stats": {
         "jvm_only": lambda p: "Python" not in p,
         "partial_agg": lambda p: "HashAggregate" in p,
