@@ -136,7 +136,16 @@ def remove_boilerplate(df: DataFrame, html_col: str = "html",
 
     Documents whose blocks are ALL boilerplate still appear (empty
     main_text, n_blocks_kept = 0) — dropping pages silently would skew
-    downstream corpus accounting.
+    downstream corpus accounting.  (Documents with NO candidate blocks
+    at all have nothing to reassemble and are absent from the output —
+    join back to the source frame when completeness matters.)
+
+    Global (cross-host) frequency dedup — the CCNet-style "drop lines
+    that repeat anywhere in the corpus" — is the same pipeline with a
+    constant host column (``F.lit("")``); the per-host form is the
+    default because chrome is overwhelmingly site-scoped and a global
+    threshold on a 10^12-page corpus would only catch universal
+    strings.
     """
     blocks = block_frame(df, html_col, doc_col, host_col, selector)
     totals = (df.groupBy(host_col)

@@ -163,7 +163,15 @@ def table_cells_udf(selector: str = "table"):
     match as ``(table_idx, row_idx, cell_idx, cell)`` — the relational
     twin of the Markdown pipe-table renderer (same kernel walk, same
     inline/whitespace semantics).  Returned as one array per document
-    so the caller explodes JVM-side; empty array when no table."""
+    so the caller explodes JVM-side; empty array when no table.
+
+    Nested tables: the inner ``<table>`` is its own match (own
+    ``table_idx``, its cells emitted separately) AND its text is
+    inline-rendered into the enclosing cell's string — the same
+    contract the Markdown renderer applies to any element inside a
+    cell.  Filter matches (e.g. ``table:not(table table)`` is NOT in
+    the supported grammar — pre-filter by table_idx instead) when only
+    outermost tables are wanted."""
     from ..kernel.markdown import table_rows
 
     sel = _compiled(selector)
@@ -193,6 +201,9 @@ def fields_udf(fields):
     selector/attribute → null field.  The queryOne → innerText /
     getAttributeValue composition over the kernel, batched per Arrow
     block like every other operator."""
+    if not fields:
+        raise ValueError("fields_udf needs at least one field "
+                         "(Arrow cannot ship an empty struct)")
     compiled = []
     for name, spec in fields.items():
         if isinstance(spec, str):

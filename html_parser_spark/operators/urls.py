@@ -18,7 +18,11 @@ Canonicalization contract (pinned by tests/test_urls.py):
   :data:`TRACKING_EXACT`; remaining params keep their original order
   (no resort — ``?b=1&a=2`` is left alone, reordering is a semantic
   change some endpoints notice);
-* a query emptied by the filter drops its ``?``.
+* a query emptied by the filter drops its ``?``;
+* userinfo (``user:pw@``) is DROPPED — the canonical form is a dedup/
+  quota key, and credentials must never leak into corpus accounting
+  tables.  (:func:`resolve_url` by contrast keeps the base authority
+  verbatim: resolution is faithful, canonicalization is lossy.)
 """
 
 from __future__ import annotations

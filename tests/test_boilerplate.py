@@ -105,3 +105,27 @@ def test_block_frame_shape_and_fingerprint(spark):
     assert (r["doc_id"], r["host"], r["pos"], r["text"]) == ("d", "h", 0, "a b")
     import hashlib
     assert r["fp"] == hashlib.md5(b"a b").hexdigest()
+
+
+def test_global_mode_via_constant_host(spark):
+    """Cross-host (CCNet-style) frequency dedup is the same pipeline
+    with a constant host column."""
+    rows = [
+        ("a0", "A", "<p>EVERYWHERE</p><p>a zero</p>"),
+        ("b0", "B", "<p>EVERYWHERE</p><p>b zero</p>"),
+        ("c0", "C", "<p>EVERYWHERE</p><p>c zero</p>"),
+    ]
+    df = _corpus(spark, rows).withColumn("host", F.lit(""))
+    out = {r["doc_id"]: r for r in remove_boilerplate(df).collect()}
+    # per-host mode would keep EVERYWHERE (1/1 per host but min_docs=2
+    # fails); global mode sees 3/3 docs and drops it
+    assert out["a0"]["main_text"] == "a zero"
+    assert out["b0"]["main_text"] == "b zero"
+
+
+def test_doc_with_no_candidate_blocks_absent(spark):
+    # documented: nothing to reassemble -> absent from output
+    rows = [("d0", "h", "<div>bare text not in a block element</div>"),
+            ("d1", "h", "<p>x</p>"), ("d2", "h", "<p>y</p>")]
+    out = remove_boilerplate(_corpus(spark, rows)).collect()
+    assert sorted(r["doc_id"] for r in out) == ["d1", "d2"]

@@ -177,3 +177,25 @@ def test_fields_udf_one_parse_multi_field(spark):
     r1 = out[1]["r"]
     assert r1["title"] is None and r1["url"] is None
     assert all(v is None for v in out[2]["r"].asDict().values())
+
+
+def test_table_cells_udf_nested_table_contract(spark):
+    """A nested <table> is its own match (own table_idx) AND its text
+    inlines into the enclosing cell — the documented shared contract
+    with the Markdown renderer."""
+    html = ("<table><tr><td>outer "
+            "<table><tr><td>inner</td></tr></table>"
+            "</td></tr></table>")
+    df = spark.createDataFrame([(0, html)], ["i", "html"])
+    cells = df.select(
+        html_ops.table_cells_udf()(F.col("html")).alias("c")).collect()[0]["c"]
+    assert [tuple(x) for x in cells] == [
+        (0, 0, 0, "outer inner"), (1, 0, 0, "inner")]
+
+
+def test_fields_udf_rejects_empty_field_map(spark):
+    from html_parser_spark.operators.html_ops import fields_udf
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fields_udf({})

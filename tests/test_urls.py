@@ -245,3 +245,21 @@ def test_resolve_url_randomized_matrix_vs_urljoin(spark):
            for (b, r), g in zip(cases, got)
            if g != urljoin(b, r).split("#")[0]]
     assert not bad, f"{len(bad)} mismatches, first: {bad[0]}"
+
+
+def test_userinfo_dropped_by_normalize_kept_by_resolve(spark):
+    """Canonicalization is a dedup key — credentials must not leak
+    into accounting tables (userinfo dropped); resolution is faithful
+    (base authority kept verbatim)."""
+    from html_parser_spark.operators.urls import resolve_url
+
+    df = spark.createDataFrame(
+        [("https://user:pw@Ex.COM:443/p?a=1#f",)], ["url"])
+    assert [r[0] for r in
+            df.select(normalize_url(F.col("url"))).collect()] == [
+        "https://ex.com/p?a=1"]
+    d2 = spark.createDataFrame([("http://user@h/a/b", "../c")],
+                               ["base", "ref"])
+    assert [r[0] for r in
+            d2.select(resolve_url(F.col("base"), F.col("ref"))).collect()] == [
+        "http://user@h/c"]
