@@ -1132,6 +1132,21 @@ def q_unigram_nll(spark, sf_dir):
         "doc_id", (F.floor(F.col("nll") * 10000) / 10000).alias("nll"))
 
 
+def q_bigram_nll(spark, sf_dir):
+    """Order-sensitive LM quality score: per-doc mean negative log
+    probability of each adjacent token pair under the corpus's own
+    add-1-smoothed bigram model p(w2|w1) — catches shuffled/templated
+    text whose unigram profile looks normal.  Model = one row per
+    distinct pair; contexts = one row per token; V broadcast.
+    Floor-quantized to 4 decimals (operators/textstats.py)."""
+    from html_parser_spark.operators.textstats import doc_bigram_nll
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    out = doc_bigram_nll(d)
+    return out.select(
+        "doc_id", (F.floor(F.col("nll2") * 10000) / 10000).alias("nll2"))
+
+
 def q_bm25_topk(spark, sf_dir):
     """Lexical retrieval: top-20 documents by Okapi/Lucene BM25 for a
     3-term query.  The query-term filter lands before the tf
@@ -1502,17 +1517,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 81 registered queries.
+    """All 82 registered queries.
 
     ORDERING CONTRACT: the correctness driver samples the FIRST 50 dict
     entries only (r03: 49 registered -> 49 recorded; r04: 73 registered ->
     exactly the first 50 recorded).  Round 5 therefore front-loads (a) the
     23 queries that were beyond the cap in round 4 (media probes, as-of
     join, sessionize, sampling/splits, lexical retrieval, pagerank,
-    rollup/pivot, streaming) and (b) the 8 queries NEW in round 5
+    rollup/pivot, streaming) and (b) the 9 queries NEW in round 5
     (markdown rendering, table-cell extraction, multi-field wrapper
     extraction, URL canonicalization/domain stats, link resolution,
-    site-level boilerplate removal, streaming dedup), so that
+    site-level boilerplate removal, bigram LM scoring, streaming
+    dedup), so that
     CORRECTNESS_r04.json + CORRECTNESS_r05.json together carry
     driver-recorded evidence for every registered query.  Positions
     51-81 hold queries already driver-verified green in round 4 (tier
@@ -1547,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_watermark_hourly": q_streaming_watermark_hourly,
         "streaming_conv_rollup": q_streaming_conv_rollup,
         # -- tier 1b: NEW in round 5 (no driver evidence yet) ----------------
+        "bigram_nll": q_bigram_nll,
         "html_to_markdown": q_html_to_markdown,
         "html_table_cells": q_html_table_cells,
         "url_normalize": q_url_normalize,
@@ -2873,6 +2890,38 @@ def oracle_sql() -> dict[str, str]:
                          * 10000) / 10000 as nll
             from tf t join freq f using (token), tot
             group by t.doc_id
+        """,
+        # bigram_nll twin: add-1-smoothed p(w2|w1) over adjacent pairs
+        # (list_zip of the two shifted slices = Spark's arrays_zip),
+        # ctx(w1) = pair-count row sums, V = distinct right tokens
+        "bigram_nll": """
+            with docs_f as (
+                select doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') as ws
+                from documents where doc_id < 300
+            ), pairs as (
+                select doc_id, bg[1] as w1, bg[2] as w2
+                from (select doc_id,
+                             unnest(list_zip(ws[1:len(ws)-1],
+                                             ws[2:len(ws)])) as bg
+                      from docs_f where len(ws) >= 2)
+            ), model as (
+                select w1, w2, count(*) as c from pairs group by 1, 2
+            ), ctx as (
+                select w1, cast(sum(c) as double) as cw
+                from model group by 1
+            ), v as (
+                select cast(count(distinct w2) as double) as V_ from pairs
+            )
+            select p.doc_id,
+                   floor(avg(-ln((m.c + 1.0) / (x.cw + 1.0 * v.V_)))
+                         * 10000) / 10000 as nll2
+            from pairs p
+            join model m on p.w1 = m.w1 and p.w2 = m.w2
+            join ctx x on p.w1 = x.w1
+            cross join v
+            group by p.doc_id
         """,
         # bm25_topk twin: identical Lucene-variant BM25 (k1=1.2,
         # b=0.75), floor-quantized scores rank with id tie-break so

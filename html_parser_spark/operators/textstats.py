@@ -272,6 +272,76 @@ def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _bigram_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) for every adjacent whitespace-token pair — built
+    JVM-side (filter + two slices + arrays_zip + explode), no join and
+    no Python.  Docs with < 2 tokens contribute nothing."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(w, 1, n1).alias("w1"),
+                         F.slice(w, 2, n1).alias("w2"))
+    return (docs.select(F.col(id_col), F.explode(pairs).alias("_bg"))
+            .select(id_col, F.col("_bg.w1").alias("w1"),
+                    F.col("_bg.w2").alias("w2")))
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Corpus bigram model: adjacent-pair frequencies ``(w1, w2, n)``.
+    Same shuffle shape as :func:`unigram_counts` — one explode + one
+    hash aggregation, partial map-side combine absorbing the
+    stopword-pair skew."""
+    return (_bigram_pairs(docs, id_col, text_col)
+            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")))
+
+
+def doc_bigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean negative log-probability of each adjacent
+    token pair under an add-alpha smoothed corpus bigram model — the
+    order-sensitive sibling of :func:`doc_neg_logprob`: shuffled or
+    templated text that unigram frequency cannot distinguish scores
+    high here because its local transitions are rare.
+
+    ``nll2(d) = avg over adjacent pairs (w1, w2) in d of
+                -ln((c(w1,w2) + alpha) / (ctx(w1) + alpha * V))``
+
+    with ``c`` the corpus pair count, ``ctx(w1) = sum_w c(w1, w)``
+    (occurrences of w1 as a left context), and ``V`` the distinct
+    right-token vocabulary — all measured on the model corpus (pass
+    ``model`` = a precomputed :func:`bigram_counts` frame to score one
+    corpus against another; unseen pairs/contexts take the smoothed
+    floor via left joins).  Documents with < 2 tokens produce no row.
+
+    Scale shape mirrors the unigram scorer: the model has one row per
+    distinct PAIR, contexts one row per distinct token, so both
+    scoring joins hash hot probe keys against single build rows; the
+    scalar V rides a broadcast 1-row frame; nothing collects.
+    """
+    freq = bigram_counts(docs, text_col, id_col) if model is None else model
+    ctx = freq.groupBy("w1").agg(F.sum("n").cast("double").alias("_cw"))
+    vocab = freq.agg(
+        F.countDistinct("w2").cast("double").alias("_V"))
+    pairs = _bigram_pairs(docs, id_col, text_col)
+    nlp = -F.log(
+        (F.coalesce(F.col("n"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.coalesce(F.col("_cw"), F.lit(0.0))
+           + F.lit(float(alpha)) * F.col("_V"))
+    )
+    return (
+        pairs.join(freq, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(F.avg(nlp).alias("nll2"))
+    )
+
+
 def doc_neg_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",

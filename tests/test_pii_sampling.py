@@ -290,3 +290,59 @@ class TestQuantileFloor:
         p = _plan(percentile_floor_filter(d, "v", "lang", 0.25))
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
+
+
+class TestBigramNll:
+    """doc_bigram_nll — the order-sensitive LM scorer."""
+
+    def test_hand_computed_self_model(self, spark):
+        import math
+
+        from html_parser_spark.operators.textstats import doc_bigram_nll
+
+        d = _docs(spark, [(1, "a b a b"), (2, "b a")])
+        # pairs: d1 -> (a,b) (b,a) (a,b); d2 -> (b,a)
+        # model: (a,b):2 (b,a):2; ctx: a->2 b->2; V = |{a,b}| = 2
+        p = (2 + 1) / (2 + 1 * 2)                    # 3/4 for every pair
+        exp = -math.log(p)
+        rows = {r["doc_id"]: r["nll2"]
+                for r in doc_bigram_nll(d).collect()}
+        assert abs(rows[1] - exp) < 1e-9
+        assert abs(rows[2] - exp) < 1e-9
+
+    def test_short_docs_produce_no_row(self, spark):
+        from html_parser_spark.operators.textstats import doc_bigram_nll
+
+        d = _docs(spark, [(1, "solo"), (2, ""), (3, "a b")])
+        assert {r["doc_id"] for r in doc_bigram_nll(d).collect()} == {3}
+
+    def test_order_sensitivity_unigram_blindness(self, spark):
+        """Two docs with IDENTICAL token multisets: the one whose
+        transitions match the corpus scores lower than the shuffled
+        one — exactly the signal the unigram model cannot see."""
+        from html_parser_spark.operators.textstats import (
+            doc_bigram_nll, doc_neg_logprob,
+        )
+
+        corpus = [(i, "the cat sat on the mat") for i in range(10)]
+        corpus += [(100, "the cat sat on the mat"),
+                   (101, "mat the on sat cat the")]
+        d = _docs(spark, corpus)
+        uni = {r["doc_id"]: r["nll"] for r in doc_neg_logprob(d).collect()}
+        big = {r["doc_id"]: r["nll2"] for r in doc_bigram_nll(d).collect()}
+        assert abs(uni[100] - uni[101]) < 1e-9       # unigram: blind
+        assert big[101] > big[100] + 0.5             # bigram: caught
+
+    def test_cross_corpus_unseen_pairs_floor(self, spark):
+        import math
+
+        from html_parser_spark.operators.textstats import (
+            bigram_counts, doc_bigram_nll,
+        )
+
+        ref = _docs(spark, [(1, "a b a b")])
+        model = bigram_counts(ref)                   # (a,b):2 (b,a):1; V=2
+        target = _docs(spark, [(9, "z z")])          # unseen pair + context
+        r = doc_bigram_nll(target, model=model).collect()[0]
+        # ctx(z)=0 -> denom = 0 + 1*2; c=0 -> num = 1
+        assert abs(r["nll2"] - (-math.log(1 / 2))) < 1e-9

@@ -270,6 +270,14 @@ CHECKS = {
         "map_only": lambda p: "Exchange" not in p,
         "codegen": lambda p: "WholeStageCodegen" in p or "Found" in p,
     },
+    # bigram LM scorer: pure JVM (arrays_zip pairs), partial
+    # aggregation for the pair model, no unkeyed data-side cartesian
+    # (the single broadcast 1-row V frame is the sanctioned cross join)
+    "bigram_nll": {
+        "jvm_only": lambda p: "Python" not in p,
+        "partial_agg": lambda p: "HashAggregate" in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p,
+    },
     # wrapper extraction: k fields from one parse — a single Arrow
     # struct pass, no shuffle
     "html_field_extract": {
