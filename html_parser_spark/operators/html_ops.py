@@ -402,6 +402,7 @@ def register_sql_functions(spark) -> None:
     - ``html_query_count(html, selector)``
     - ``html_inner_text(html, selector)``  (first match, normalized)
     - ``html_attr(html, selector, attr)``
+    - ``html_markdown(html)``  (whole-document Markdown rendering)
 
     Selector arguments are ordinary columns, so they may vary per row;
     compilation is lru-cached per worker (the reference's runtime
@@ -447,10 +448,18 @@ def register_sql_functions(spark) -> None:
         for html, sel, attr in it:
             yield pd.Series([one(h, q, a) for h, q, a in zip(html, sel, attr)])
 
+    @F.pandas_udf(StringType())
+    def _markdown(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..kernel.markdown import to_markdown
+        for s in it:
+            yield s.map(lambda v: None if v is None
+                        else to_markdown(parse(v.encode("utf-8")), 0))
+
     spark.udf.register("html_node_count", _node_count)
     spark.udf.register("html_query_count", _query_count)
     spark.udf.register("html_inner_text", _inner_text)
     spark.udf.register("html_attr", _attr)
+    spark.udf.register("html_markdown", _markdown)
 
 
 def serialize_html_udf(selector):

@@ -130,6 +130,10 @@ def test_sql_registered_functions(spark):
     assert by_c[2]["n"] == 6 and by_c[2]["t"] == "x" and by_c[2]["href"] is None
     assert by_c[1]["t"] == "Docs" and by_c[1]["href"] == "/d"
     assert any(r["n"] is None for r in rows)  # null html propagates
+    md = spark.sql(
+        "select html_markdown('<h1>T</h1><ul><li>a</li></ul>') as m"
+    ).collect()[0]["m"]
+    assert md == "# T\n\n- a"
 
 
 def test_table_cells_udf_matches_kernel(spark):
