@@ -58,6 +58,22 @@ _HEADINGS = {b"h1": 1, b"h2": 2, b"h3": 3, b"h4": 4, b"h5": 5, b"h6": 6}
 _STRONG = frozenset((b"strong", b"b"))
 _EM = frozenset((b"em", b"i"))
 
+#: poison-pill guard for pathologically nested pages (the renderer
+#: recurses per DOM level; the extraction kernel is iterative and
+#: unaffected).  Subtrees nested deeper than this render as their
+#: flat, whitespace-collapsed innerText via the ITERATIVE kernel walk
+#: — structure (and drop-tag filtering) degrades, the task never dies
+#: with RecursionError.  200 levels x ~3 Python frames stays well
+#: under CPython's 1000-frame default; real documents rarely exceed
+#: ~30 levels.
+MAX_RENDER_DEPTH = 200
+
+
+def _flat_text(dom: Dom, idx: int) -> str:
+    """Iterative innerText fallback for beyond-cap subtrees."""
+    from .text import inner_text
+    return inner_text(dom, idx, True).decode("utf-8", "replace")
+
 
 def _children(dom: Dom, parent_idx: int) -> List[int]:
     """Direct-child node indexes (same walk the serializer uses)."""
@@ -91,7 +107,7 @@ def _raw_text(dom: Dom, idx: int) -> str:
     return b"".join(segs).decode("utf-8", "replace")
 
 
-def _inline(dom: Dom, idx: int, out: List[str]) -> None:
+def _inline(dom: Dom, idx: int, out: List[str], depth: int = 0) -> None:
     """Render node ``idx`` into the current inline buffer."""
     k = dom.kind[idx]
     if k == TEXT:
@@ -101,6 +117,9 @@ def _inline(dom: Dom, idx: int, out: List[str]) -> None:
         return
     name = dom.name_lower[idx]
     if name in _DROP:
+        return
+    if depth >= MAX_RENDER_DEPTH:
+        out.append(_flat_text(dom, idx))
         return
     if name == b"br":
         out.append("\x00")  # placeholder: survives collapse, becomes \n
@@ -112,7 +131,7 @@ def _inline(dom: Dom, idx: int, out: List[str]) -> None:
     if name == b"a":
         inner: List[str] = []
         for c in _children(dom, idx):
-            _inline(dom, c, inner)
+            _inline(dom, c, inner, depth + 1)
         out.append("[%s](%s)" % ("".join(inner),
                                  _decoded_attr(dom, idx, "href")))
         return
@@ -120,14 +139,14 @@ def _inline(dom: Dom, idx: int, out: List[str]) -> None:
         marker = "**" if name in _STRONG else ("*" if name in _EM else "`")
         inner = []
         for c in _children(dom, idx):
-            _inline(dom, c, inner)
+            _inline(dom, c, inner, depth + 1)
         body = "".join(inner)
         # empty emphasis renders as nothing (``****`` is not markdown)
         out.append(marker + body + marker if body else "")
         return
     # transparent inline wrapper (span, u, custom elements, …)
     for c in _children(dom, idx):
-        _inline(dom, c, out)
+        _inline(dom, c, out, depth + 1)
 
 
 def _collapse(parts: List[str]) -> str:
@@ -146,21 +165,21 @@ def _indent(block: str, prefix: str, first: str) -> str:
     return "\n".join(out)
 
 
-def _render_list(dom: Dom, idx: int, ordered: bool) -> str:
+def _render_list(dom: Dom, idx: int, ordered: bool, depth: int = 0) -> str:
     items: List[str] = []
     n = 0
     for c in _children(dom, idx):
         if dom.kind[c] != ELEMENT or dom.name_lower[c] != b"li":
             continue
         n += 1
-        body = "\n\n".join(_render_blocks(dom, _children(dom, c))) or ""
+        body = "\n\n".join(_render_blocks(dom, _children(dom, c), depth + 1)) or ""
         bullet = f"{n}. " if ordered else "- "
         cont = " " * len(bullet)
         items.append(_indent(body, cont, bullet))
     return "\n".join(items)
 
 
-def table_rows(dom: Dom, idx: int) -> List[List[str]]:
+def table_rows(dom: Dom, idx: int, depth: int = 0) -> List[List[str]]:
     """Structured extraction of a ``<table>`` subtree: one list per
     ``<tr>`` (section wrappers thead/tbody/tfoot are transparent), one
     inline-rendered, whitespace-collapsed string per ``<td>``/``<th>``.
@@ -182,7 +201,7 @@ def table_rows(dom: Dom, idx: int) -> List[List[str]]:
                     if dom.kind[cc] == ELEMENT and dom.name_lower[cc] in (b"td", b"th"):
                         buf: List[str] = []
                         for g in _children(dom, cc):
-                            _inline(dom, g, buf)
+                            _inline(dom, g, buf, depth + 1)
                         cells.append(_collapse(buf).replace("\n", " "))
                 rows.append(cells)
 
@@ -190,8 +209,8 @@ def table_rows(dom: Dom, idx: int) -> List[List[str]]:
     return rows
 
 
-def _render_table(dom: Dom, idx: int) -> str:
-    rows = table_rows(dom, idx)
+def _render_table(dom: Dom, idx: int, depth: int = 0) -> str:
+    rows = table_rows(dom, idx, depth)
     if not rows:
         return ""
     width = max(len(r) for r in rows)
@@ -202,11 +221,20 @@ def _render_table(dom: Dom, idx: int) -> str:
     return "\n".join(lines)
 
 
-def _render_blocks(dom: Dom, child_idxs: List[int]) -> List[str]:
+def _render_blocks(dom: Dom, child_idxs: List[int],
+                   depth: int = 0) -> List[str]:
     """Render a child list: inline runs become paragraphs; block
-    elements flush the run and render themselves."""
+    elements flush the run and render themselves.  Beyond
+    ``MAX_RENDER_DEPTH`` each child renders as its flat innerText."""
     blocks: List[str] = []
     run: List[str] = []
+
+    if depth >= MAX_RENDER_DEPTH:
+        for c in child_idxs:
+            t = _collapse([_flat_text(dom, c)])
+            if t:
+                blocks.append(t)
+        return blocks
 
     def flush() -> None:
         if run:
@@ -221,31 +249,31 @@ def _render_blocks(dom: Dom, child_idxs: List[int]) -> List[str]:
         if k == ELEMENT and name in _DROP:
             continue
         if k != ELEMENT or name not in _BLOCK:
-            _inline(dom, c, run)
+            _inline(dom, c, run, depth)
             continue
         flush()
         if name in _HEADINGS:
             buf: List[str] = []
             for g in _children(dom, c):
-                _inline(dom, g, buf)
+                _inline(dom, g, buf, depth + 1)
             text = _collapse(buf).replace("\n", " ")
             if text:
                 blocks.append("#" * _HEADINGS[name] + " " + text)
         elif name == b"p" or name in (b"figcaption", b"summary", b"dt",
                                       b"dd", b"li"):
             # bare <li> outside a list renders as its paragraph content
-            sub = _render_blocks(dom, _children(dom, c))
+            sub = _render_blocks(dom, _children(dom, c), depth + 1)
             blocks.extend(sub)
         elif name == b"ul":
-            t = _render_list(dom, c, ordered=False)
+            t = _render_list(dom, c, ordered=False, depth=depth + 1)
             if t:
                 blocks.append(t)
         elif name == b"ol":
-            t = _render_list(dom, c, ordered=True)
+            t = _render_list(dom, c, ordered=True, depth=depth + 1)
             if t:
                 blocks.append(t)
         elif name == b"blockquote":
-            sub = "\n\n".join(_render_blocks(dom, _children(dom, c)))
+            sub = "\n\n".join(_render_blocks(dom, _children(dom, c), depth + 1))
             if sub:
                 blocks.append("\n".join(
                     ("> " + ln).rstrip() for ln in sub.split("\n")))
@@ -255,11 +283,11 @@ def _render_blocks(dom: Dom, child_idxs: List[int]) -> List[str]:
         elif name == b"hr":
             blocks.append("---")
         elif name == b"table":
-            t = _render_table(dom, c)
+            t = _render_table(dom, c, depth + 1)
             if t:
                 blocks.append(t)
         else:  # div/section/article/… and any other block wrapper
-            blocks.extend(_render_blocks(dom, _children(dom, c)))
+            blocks.extend(_render_blocks(dom, _children(dom, c), depth + 1))
     flush()
     return blocks
 

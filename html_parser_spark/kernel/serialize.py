@@ -40,53 +40,53 @@ def _write_attrs(dom: Dom, idx: int, out: List[bytes], materialized: bool) -> No
             out.append(name)  # boolean attr stays bare
 
 
-def _write_node(dom: Dom, idx: int, out: List[bytes], self_only: bool,
-                materialized: bool) -> None:
-    k = dom.kind[idx]
-    if k == TEXT:
-        t = dom.text_bytes(idx)
-        out.append(decode_entities(t) if materialized else t)
-        return
-    if k == DOCUMENT:
-        _write_children(dom, idx, out, materialized)
-        return
-    name = dom.name_disp[idx]
+def _write_open_tag(dom: Dom, idx: int, out: List[bytes],
+                    materialized: bool) -> None:
     out.append(b"<")
-    out.append(name)
+    out.append(dom.name_disp[idx])
     _write_attrs(dom, idx, out, materialized)
     out.append(b">")
-    if self_only:
-        return
-    if dom.name_lower[idx] not in VOID_TAGS:
-        _write_children(dom, idx, out, materialized)
-        out.append(b"</")
-        out.append(name)
-        out.append(b">")
-
-
-def _write_children(dom: Dom, parent_idx: int, out: List[bytes],
-                    materialized: bool) -> None:
-    end = dom.subtree_end[parent_idx]
-    idx = parent_idx + 1
-    n = len(dom.kind)
-    while idx <= end and idx < n:
-        if dom.parent[idx] != parent_idx:
-            idx += 1
-            continue
-        _write_node(dom, idx, out, self_only=False, materialized=materialized)
-        nxt = dom.subtree_end[idx] + 1
-        idx = nxt if nxt > idx else idx + 1
 
 
 def write_html(dom: Dom, idx: int, materialized: bool = False) -> bytes:
-    """Serialize node ``idx`` and its subtree."""
+    """Serialize node ``idx`` and its subtree.
+
+    ITERATIVE over the preorder node array (the subtree is the
+    contiguous interval ``[idx, subtree_end[idx]]``; close tags emit
+    when the walk passes a node's ``subtree_end``) — a 100k-deep
+    pathological nesting serializes in one loop instead of 100k Python
+    frames.  Behavior is byte-identical to the recursive form (the
+    round-trip property suite pins it)."""
     out: List[bytes] = []
-    _write_node(dom, idx, out, self_only=False, materialized=materialized)
+    end = dom.subtree_end[idx]
+    n = len(dom.kind)
+    closers: List[tuple] = []  # (subtree_end, display name)
+    i = idx
+    while i <= end and i < n:
+        while closers and closers[-1][0] < i:
+            out.append(b"</" + closers.pop()[1] + b">")
+        k = dom.kind[i]
+        if k == TEXT:
+            t = dom.text_bytes(i)
+            out.append(decode_entities(t) if materialized else t)
+        elif k == ELEMENT:
+            _write_open_tag(dom, i, out, materialized)
+            if dom.name_lower[i] not in VOID_TAGS:
+                closers.append((dom.subtree_end[i], dom.name_disp[i]))
+        # DOCUMENT emits nothing: its children serialize bare
+        i += 1
+    while closers:
+        out.append(b"</" + closers.pop()[1] + b">")
     return b"".join(out)
 
 
 def write_html_self(dom: Dom, idx: int, materialized: bool = False) -> bytes:
     """Serialize the node's own tag only (children excluded)."""
     out: List[bytes] = []
-    _write_node(dom, idx, out, self_only=True, materialized=materialized)
+    k = dom.kind[idx]
+    if k == TEXT:
+        t = dom.text_bytes(idx)
+        out.append(decode_entities(t) if materialized else t)
+    elif k == ELEMENT:
+        _write_open_tag(dom, idx, out, materialized)
     return b"".join(out)

@@ -123,3 +123,32 @@ def test_table_rows_ignores_stray_non_row_children():
 
 def test_table_rows_empty_table():
     assert _rows("<table></table>") == []
+
+
+def test_depth_cap_no_recursion_error():
+    """Pathological nesting (real at web scale) must degrade, not die:
+    beyond MAX_RENDER_DEPTH the subtree renders as flat innerText via
+    the iterative kernel walk.  The extraction kernel was always
+    iterative; this pins the renderer's poison-pill guard."""
+    for html in (
+        "<div>" * 3000 + "x" + "</div>" * 3000,
+        "<b>" * 3000 + "x" + "</b>" * 3000,
+        "<ul><li>" * 1200 + "x" + "</li></ul>" * 1200,
+        "<blockquote>" * 1500 + "x" + "</blockquote>" * 1500,
+        "<table><tr><td>" * 1500 + "x" + "</td></tr></table>" * 1500,
+    ):
+        out = md(html)
+        assert "x" in out
+
+
+def test_depth_cap_boundary_structure_preserved():
+    # nesting below the cap keeps full structure
+    from html_parser_spark.kernel.markdown import MAX_RENDER_DEPTH
+
+    deep_but_ok = "<div>" * (MAX_RENDER_DEPTH - 5) + "<h1>T</h1>" \
+        + "</div>" * (MAX_RENDER_DEPTH - 5)
+    assert md(deep_but_ok) == "# T"
+    # beyond it, text survives flat (structure degrades by contract)
+    beyond = "<div>" * (MAX_RENDER_DEPTH + 50) + "<h1>T</h1>" \
+        + "</div>" * (MAX_RENDER_DEPTH + 50)
+    assert "T" in md(beyond)

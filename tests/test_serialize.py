@@ -77,3 +77,17 @@ def test_write_html_self_excludes_children():
     from html_parser_spark.kernel.serialize import write_html_self
 
     assert write_html_self(dom, 1) == b"<div id='a'>"
+
+
+def test_serialize_pathological_depth_iterative():
+    """The serializer walks the preorder interval iteratively — a
+    100k-deep nesting (a poison-pill page at web scale) must
+    serialize, not die in RecursionError like a per-node recursion
+    would at ~1000 frames."""
+    from html_parser_spark.kernel.htmlparse import parse
+    from html_parser_spark.kernel.serialize import write_html
+
+    depth = 100_000
+    deep = ("<div>" * depth + "x" + "</div>" * depth).encode()
+    out = write_html(parse(deep), 1)
+    assert out == b"<div>" * depth + b"x" + b"</div>" * depth
