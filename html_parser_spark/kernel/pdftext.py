@@ -144,16 +144,26 @@ def _iter_objects(data: bytes):
         pos = em2 + len(b"endobj")
 
 
-def _decode_stream(dict_part: bytes, body: bytes) -> Optional[bytes]:
+#: decompression output cap — the deflate-bomb guard (deflate can
+#: expand ~1000:1, so a 16 MB stream could otherwise demand ~16 GB and
+#: OOM the executor; the analog of extraction's ``max_doc_bytes``
+#: poison-pill truncation).  Beyond the cap the stream truncates and
+#: the permissive contract continues with what decoded.
+MAX_STREAM_BYTES = 64 * 1024 * 1024
+
+
+def _decode_stream(dict_part: bytes, body: bytes,
+                   max_bytes: int = MAX_STREAM_BYTES) -> Optional[bytes]:
     if b"/FlateDecode" in dict_part:
+        # decompressobj tolerates truncated streams and trailing
+        # garbage (returns the prefix that decoded) — the permissive
+        # posture — and max_bytes caps the output regardless of the
+        # declared ratio
         try:
-            return zlib.decompress(body)
+            return zlib.decompressobj().decompress(body, max_bytes)
         except zlib.error:
-            try:
-                return zlib.decompressobj().decompress(body)
-            except zlib.error:
-                return None
-    return body
+            return None
+    return body[:max_bytes]
 
 
 def _decode_text(raw: bytes, encoding: str) -> str:

@@ -149,3 +149,24 @@ def test_spark_pdf_udfs(spark):
     assert out[1]["text"] == "HEADER\ngamma (x)\nFOOTER"
     assert out[0]["n_objects"] == 5
     assert out[2]["text"] is None
+
+
+def test_flate_bomb_output_capped():
+    """Deflate expands up to ~1000:1 — a 1 MB stream claiming ~1 GB of
+    output must decode bounded (MAX_STREAM_BYTES), not OOM the
+    executor.  The permissive contract continues with the decoded
+    prefix."""
+    import zlib
+
+    from html_parser_spark.kernel.pdftext import (
+        MAX_STREAM_BYTES, _decode_stream, extract_pdf_text,
+    )
+
+    bomb = zlib.compress(b"\x00" * (256 * 1024 * 1024), 9)
+    out = _decode_stream(b"<< /Filter /FlateDecode >>", bomb)
+    assert len(out) == MAX_STREAM_BYTES  # capped, not 256 MB
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+           + str(len(bomb)).encode() + b" >>\nstream\n" + bomb
+           + b"\nendstream\nendobj\n")
+    r = extract_pdf_text(pdf)          # must not raise / blow memory
+    assert r.n_streams == 1
