@@ -1132,6 +1132,32 @@ def q_unigram_nll(spark, sf_dir):
         "doc_id", (F.floor(F.col("nll") * 10000) / 10000).alias("nll"))
 
 
+def q_language_mix(spark, sf_dir):
+    """Per-block language segmentation (textstats.language_mix): each
+    page carries two fixed blocks (one English, one German), a block
+    whose language tracks the doc's lang column (zh → no stopword
+    hits → 'und'), and a second English block.  The de case pins the
+    deterministic tie-break (en 2 vs de 2 → lexicographically
+    smallest wins).  One Arrow pass + two keyed aggregations; the
+    oracle enumerates the expected mix per lang analytically."""
+    from html_parser_spark.operators.textstats import language_mix
+
+    sent = (F.when(F.col("lang") == "en", F.lit("the and of for"))
+            .when(F.col("lang") == "de", F.lit("der und ein mit"))
+            .when(F.col("lang") == "fr", F.lit("les et une pour"))
+            .when(F.col("lang") == "es", F.lit("los y una para"))
+            .otherwise(F.lit("ni hao ma shi")))
+    html = F.concat(
+        F.lit("<div><p>the cat and the dog is in it</p>"
+              "<p>der hund und die katze ist mit</p><p>"),
+        sent,
+        F.lit("</p><p>the cat and the dog is in it</p></div>"),
+    )
+    df = _docs(spark, sf_dir).withColumn("html", html)
+    return language_mix(df).select(
+        "doc_id", "n_blocks", "n_langs", "lang_dominant", "n_dominant")
+
+
 def q_bigram_nll(spark, sf_dir):
     """Order-sensitive LM quality score: per-doc mean negative log
     probability of each adjacent token pair under the corpus's own
@@ -1517,18 +1543,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 82 registered queries.
+    """All 83 registered queries.
 
     ORDERING CONTRACT: the correctness driver samples the FIRST 50 dict
     entries only (r03: 49 registered -> 49 recorded; r04: 73 registered ->
     exactly the first 50 recorded).  Round 5 therefore front-loads (a) the
     23 queries that were beyond the cap in round 4 (media probes, as-of
     join, sessionize, sampling/splits, lexical retrieval, pagerank,
-    rollup/pivot, streaming) and (b) the 9 queries NEW in round 5
+    rollup/pivot, streaming) and (b) the 10 queries NEW in round 5
     (markdown rendering, table-cell extraction, multi-field wrapper
     extraction, URL canonicalization/domain stats, link resolution,
-    site-level boilerplate removal, bigram LM scoring, streaming
-    dedup), so that
+    site-level boilerplate removal, bigram LM scoring, language-mix
+    segmentation, streaming dedup), so that
     CORRECTNESS_r04.json + CORRECTNESS_r05.json together carry
     driver-recorded evidence for every registered query.  Positions
     51-81 hold queries already driver-verified green in round 4 (tier
@@ -1564,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_conv_rollup": q_streaming_conv_rollup,
         # -- tier 1b: NEW in round 5 (no driver evidence yet) ----------------
         "bigram_nll": q_bigram_nll,
+        "language_mix": q_language_mix,
         "html_to_markdown": q_html_to_markdown,
         "html_table_cells": q_html_table_cells,
         "url_normalize": q_url_normalize,
@@ -2890,6 +2917,21 @@ def oracle_sql() -> dict[str, str]:
                          * 10000) / 10000 as nll
             from tf t join freq f using (token), tot
             group by t.doc_id
+        """,
+        # expected language mix per doc: blocks are [en, de, f(lang),
+        # en], so the profile is a direct CASE on the lang column
+        # (en: en=3/de=1; de: 2-2 tie -> 'de' lexicographically;
+        # fr/es: en=2 + 1 each; zh: stopword-less block -> 'und')
+        "language_mix": """
+            select doc_id,
+                   4 as n_blocks,
+                   case when lang in ('en', 'de') then 2 else 3 end
+                       as n_langs,
+                   case when lang = 'de' then 'de' else 'en' end
+                       as lang_dominant,
+                   case when lang = 'en' then 3 else 2 end
+                       as n_dominant
+            from documents
         """,
         # bigram_nll twin: add-1-smoothed p(w2|w1) over adjacent pairs
         # (list_zip of the two shifted slices = Spark's arrays_zip),

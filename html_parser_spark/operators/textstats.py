@@ -106,6 +106,45 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return df.withColumn(out_col, F.when(best["h"] > 0, best["code"]).otherwise(F.lit("und")))
 
 
+def language_mix(df: DataFrame, html_col: str = "html",
+                 doc_col: str = "doc_id",
+                 selector: str | None = None) -> DataFrame:
+    """Per-document language profile from PER-BLOCK language-id — the
+    multilingual-corpus segmentation pass: a page that mixes an
+    English article with a German comment thread is not "English", it
+    is 60/40, and routing/quota decisions need the mix.
+
+    Blocks come from the boilerplate module's outermost-block walk
+    (one kernel parse per doc, map-only); each block gets the pinned
+    stopword lang-id; the per-doc rollup returns ``(doc, n_blocks,
+    n_langs, lang_dominant, n_dominant)`` with ties broken toward the
+    lexicographically smallest code (deterministic across engines —
+    min over struct(-count, lang)).
+
+    Scale shape: one Arrow pass + one (doc, lang) hash aggregation +
+    one doc aggregation — both key on high-cardinality columns; no
+    joins, nothing collects.
+    """
+    from .boilerplate import BLOCK_SELECTOR, text_blocks_udf
+
+    sel = selector if selector is not None else BLOCK_SELECTOR
+    blocks = (df.select(doc_col,
+                        F.explode(text_blocks_udf(sel)(F.col(html_col)))
+                        .alias("b"))
+              .select(doc_col, F.col("b.text").alias("_bt")))
+    tagged = lang_id(blocks, "_bt", out_col="_lang")
+    per = tagged.groupBy(doc_col, "_lang").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    return (per.groupBy(doc_col).agg(
+        F.sum("_cnt").cast("long").alias("n_blocks"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.min(F.struct((-F.col("_cnt")).alias("neg"),
+                       F.col("_lang").alias("lang"))).alias("_top"))
+        .select(doc_col, "n_blocks", "n_langs",
+                F.col("_top.lang").alias("lang_dominant"),
+                (-F.col("_top.neg")).cast("long").alias("n_dominant")))
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text — the cheap, engine-portable canonical-content hash."""

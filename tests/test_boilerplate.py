@@ -129,3 +129,28 @@ def test_doc_with_no_candidate_blocks_absent(spark):
             ("d1", "h", "<p>x</p>"), ("d2", "h", "<p>y</p>")]
     out = remove_boilerplate(_corpus(spark, rows)).collect()
     assert sorted(r["doc_id"] for r in out) == ["d1", "d2"]
+
+
+def test_language_mix_profile_and_tiebreak(spark):
+    """Per-block language segmentation over the shared block walk:
+    dominant language, distinct count, and the deterministic
+    lexicographic tie-break."""
+    from html_parser_spark.operators.textstats import language_mix
+
+    rows = [
+        ("mixed", "h", "<p>the cat and the dog is in it</p>"
+                       "<p>der hund und die katze ist mit</p>"
+                       "<p>the of and to in is</p>"),
+        ("tie", "h", "<p>the and of for</p><p>der und ein mit</p>"),
+        ("unknown", "h", "<p>ni hao ma shi</p>"),
+    ]
+    out = {r["doc_id"]: r for r in
+           language_mix(_corpus(spark, rows)).collect()}
+    m = out["mixed"]
+    assert (m["n_blocks"], m["n_langs"], m["lang_dominant"],
+            m["n_dominant"]) == (3, 2, "en", 2)
+    t = out["tie"]
+    # 1-1 tie between en and de -> lexicographically smallest wins
+    assert (t["lang_dominant"], t["n_dominant"]) == ("de", 1)
+    u = out["unknown"]
+    assert (u["n_langs"], u["lang_dominant"]) == (1, "und")

@@ -270,6 +270,16 @@ CHECKS = {
         "map_only": lambda p: "Exchange" not in p,
         "codegen": lambda p: "WholeStageCodegen" in p or "Found" in p,
     },
+    # language-mix segmentation: one Arrow block pass + two keyed
+    # aggregations, no joins
+    "language_mix": {
+        "arrow_eval": lambda p: "ArrowEvalPython" in p
+        and "BatchEvalPython" not in p,
+        "partial_agg": lambda p: "HashAggregate" in p
+        or "ObjectHashAggregate" in p,
+        "no_join": lambda p: "Join" not in p,
+        "no_single_partition": lambda p: "SinglePartition" not in p,
+    },
     # bigram LM scorer: pure JVM (arrays_zip pairs), partial
     # aggregation for the pair model, no unkeyed data-side cartesian
     # (the single broadcast 1-row V frame is the sanctioned cross join)
